@@ -1,0 +1,68 @@
+"""Model factories mirroring the reference's net_factory / net_factory_3d
+(net_factory.py:11-24, net_factory_3d.py:7-31), returning Flax modules.
+
+Unlike the reference (which silently returns None for unknown names and is
+missing its own 'acalnet' default), unknown names raise, and 'acalnet' maps to
+the shared-encoder DualDecoder whose encode/decode method surface the ACAL
+trainer drives (reconstructed from train_share_encoder_2D.py:183-222,358-364).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from chap_tpu.config import ModelConfig
+from chap_tpu.models.unet2d import (
+    DualDecoder,
+    UNet,
+    UNetCCT,
+    UNetPlus,
+    UNetURPC,
+)
+from chap_tpu.models.unet3d import UNet3D
+from chap_tpu.models.vnet3d import DualDecoder3d, VNet
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+def net_factory(net_type: str, in_chns: int, class_num: int,
+                cfg: ModelConfig | None = None) -> nn.Module:
+    """2D factory: unet | unetp | dualdecoder | acalnet | unet_cct | unet_urpc."""
+    cfg = cfg or ModelConfig()
+    dtype = _dtype(cfg)
+    common = dict(feature_chns=tuple(cfg.feature_chns), dropout=tuple(cfg.dropout), dtype=dtype)
+    del in_chns  # input channels are inferred from the input array by Flax
+    if net_type == "unet":
+        return UNet(num_classes=class_num, **common)
+    if net_type == "unetp":
+        return UNetPlus(num_classes=class_num, **common)
+    if net_type in ("dualdecoder", "acalnet"):
+        return DualDecoder(num_classes=class_num, decoder_type=cfg.decoder_type, **common)
+    if net_type == "unet_cct":
+        return UNetCCT(num_classes=class_num, **common)
+    if net_type == "unet_urpc":
+        return UNetURPC(num_classes=class_num, **common)
+    raise ValueError(f"unknown 2D net_type {net_type!r}")
+
+
+def net_factory_3d(net_type: str, in_chns: int, class_num: int,
+                   mode: str = "train", cfg: ModelConfig | None = None) -> nn.Module:
+    """3D factory: unet_3D | vnet | dualdecoder (train/test dropout switch,
+    net_factory_3d.py:16-27)."""
+    cfg = cfg or ModelConfig()
+    dtype = _dtype(cfg)
+    has_dropout = mode == "train"
+    del in_chns
+    if net_type == "unet_3D":
+        return UNet3D(num_classes=class_num, dtype=dtype)
+    if net_type == "vnet":
+        return VNet(num_classes=class_num, n_filters=cfg.n_filters_3d,
+                    normalization=cfg.normalization_3d, has_dropout=has_dropout,
+                    dtype=dtype)
+    if net_type == "dualdecoder":
+        return DualDecoder3d(num_classes=class_num, n_filters=cfg.n_filters_3d,
+                             normalization=cfg.normalization_3d,
+                             has_dropout=has_dropout, dtype=dtype)
+    raise ValueError(f"unknown 3D net_type {net_type!r}")

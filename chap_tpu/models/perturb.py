@@ -1,0 +1,147 @@
+"""Channel-perturbation engine — the "channel" half of CHAP's channel-spatial
+hierarchical perturbation.
+
+Rebuild of FilterDropout.perform_dropout / scores_dropoutV2 / drop_based_on_prob
+(FilterDropout.py:45-159), as pure functions with explicit PRNG so the whole
+double-decode compiles into one XLA program.
+
+Semantics per encoder level (batch = [labeled ; unlabeled] halves):
+  * only the unlabeled half is perturbed; the labeled half passes through clean
+    (the reference concatenates the full batch with the perturbed half, which
+    inflates the batch 1.5x and cannot feed its own loss call sites — a latent
+    shape bug; here the perturbed unlabeled half REPLACES the clean one so
+    batch size is preserved, which is the only consistent reading of the
+    train_ours_2D.py:361-364 call sites).
+  * no scores: two independent channel dropouts (p=0.5, scaled by 2), or
+    complementary {0,2} Binomial masks when comp_drop.
+  * scores: per-channel grad-similarity x GAP activation -> z-score ->
+    sigmoid(-2z) drop probability -> (complementary) Bernoulli channel masks,
+    re-scaled by numel/sum.
+
+All branching on `level`/`comp_drop`/score-availability is static (python), so
+each configuration traces to a single fused graph.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _channel_dropout(rng: jax.Array, feat: jnp.ndarray, p: float = 0.5) -> jnp.ndarray:
+    """torch nn.Dropout2d: zero whole channels w.p. p, scale kept by 1/(1-p).
+
+    feat: [B, H, W, C].
+    """
+    b, _, _, c = feat.shape
+    keep = jax.random.bernoulli(rng, 1.0 - p, (b, 1, 1, c)).astype(feat.dtype)
+    return feat * keep / (1.0 - p)
+
+
+def _comp_binomial_masks(rng: jax.Array, b: int, c: int, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Complementary {0,2} channel masks (FilterDropout.py:61-68)."""
+    m1 = jax.random.bernoulli(rng, 0.5, (b, 1, 1, c)).astype(dtype) * 2.0
+    return m1, 2.0 - m1
+
+
+def _drop_based_on_prob(rng: jax.Array, drop_probs: jnp.ndarray, comp: bool
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bernoulli keep-masks from per-(sample,channel) drop probabilities with
+    numel/sum re-scaling (FilterDropout.py:140-159). drop_probs: [B, C]."""
+    r_branch, r1, r2 = jax.random.split(rng, 3)
+    if comp:
+        # the reference picks mask1~keep/mask2~drop or the swap at random
+        swap = jax.random.bernoulli(r_branch, 0.5)
+        base1 = jax.random.bernoulli(r1, 1.0 - drop_probs).astype(jnp.float32)
+        base2 = jax.random.bernoulli(r2, drop_probs).astype(jnp.float32)
+        mask1 = jnp.where(swap, base2, base1)
+        mask2 = jnp.where(swap, base1, base2)
+    else:
+        mask1 = jax.random.bernoulli(r1, 1.0 - drop_probs).astype(jnp.float32)
+        mask2 = jax.random.bernoulli(r2, 1.0 - drop_probs).astype(jnp.float32)
+    numel = float(mask1.size)
+    mask1 = mask1 * numel / (jnp.sum(mask1) + 1e-8)
+    mask2 = mask2 * numel / (jnp.sum(mask2) + 1e-8)
+    # [B, C] -> [B, 1, 1, C] for NHWC broadcast
+    return mask1[:, None, None, :], mask2[:, None, None, :]
+
+
+def scores_dropout_v2(rng: jax.Array, grad_sim: jnp.ndarray, activation: jnp.ndarray,
+                      comp: bool, kind: str = "sigmoid") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Score-guided drop probabilities (FilterDropout.py:116-138).
+
+    grad_sim: [C] per-channel gradient similarity; activation: [B, C] GAP of
+    the unlabeled features. Channels whose activation-weighted similarity is
+    LOW get high drop probability (sigmoid(-2z)).
+    """
+    scores = grad_sim[None, :] * activation
+    mean = jnp.mean(scores, axis=1, keepdims=True)
+    sigma = jnp.std(scores, axis=1, keepdims=True)
+    if kind == "gauss":
+        z = (scores - mean) / (sigma * 2.0 + 1e-8)
+        probs = jnp.clip(0.5 * (1 + jax.lax.erf(z / jnp.sqrt(2.0))), 0.0, 1.0)
+    else:  # sigmoid
+        z = (scores - mean) / (sigma + 1e-8)
+        probs = jax.nn.sigmoid(-z * 2.0)
+    return _drop_based_on_prob(rng, probs, comp)
+
+
+def perform_dropout(rng: jax.Array,
+                    features: Sequence[jnp.ndarray],
+                    level: Sequence[int],
+                    scores: Optional[Sequence[Optional[jnp.ndarray]]] = None,
+                    comp_drop: bool = False,
+                    ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Produce two perturbed feature pyramids for the two decoders.
+
+    features: encoder pyramid, each [B, H, W, C] with batch = [labeled ;
+    unlabeled] halves (labeled_bs = B // 2). Returns (pyramid1, pyramid2).
+    """
+    feature_fp1: List[jnp.ndarray] = []
+    feature_fp2: List[jnp.ndarray] = []
+    for idx, feat in enumerate(features):
+        b = feat.shape[0]
+        c = feat.shape[-1]
+        labeled_bs = b // 2
+        lab_feat = feat[:labeled_bs]
+        unlab_feat = feat[labeled_bs:]
+        if idx in level:
+            rng, r1, r2 = jax.random.split(jax.random.fold_in(rng, idx), 3)
+            score_vec = None if scores is None else scores[idx]
+            if score_vec is None:
+                if comp_drop:
+                    m1, m2 = _comp_binomial_masks(r1, b - labeled_bs, c, feat.dtype)
+                    p1, p2 = unlab_feat * m1, unlab_feat * m2
+                else:
+                    p1 = _channel_dropout(r1, unlab_feat)
+                    p2 = _channel_dropout(r2, unlab_feat)
+            else:
+                activation = jnp.mean(unlab_feat, axis=(1, 2))  # GAP -> [B_u, C]
+                activation = jax.lax.stop_gradient(activation)
+                m1, m2 = scores_dropout_v2(r1, score_vec, activation, comp_drop)
+                m1 = m1.astype(feat.dtype)
+                m2 = m2.astype(feat.dtype)
+                p1, p2 = unlab_feat * m1, unlab_feat * m2
+        else:
+            p1 = p2 = unlab_feat
+        feature_fp1.append(jnp.concatenate([lab_feat, p1], axis=0))
+        feature_fp2.append(jnp.concatenate([lab_feat, p2], axis=0))
+    return feature_fp1, feature_fp2
+
+
+def feature_dropout(rng: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+    """Attention-guided spatial dropout (unet.py:472-480): drop pixels whose
+    channel-mean attention exceeds a random 0.7-0.9 fraction of the max."""
+    attention = jnp.mean(x, axis=-1, keepdims=True)
+    max_val = jnp.max(attention.reshape(x.shape[0], -1), axis=1)
+    frac = jax.random.uniform(rng, (), minval=0.7, maxval=0.9)
+    threshold = (max_val * frac).reshape(-1, 1, 1, 1)
+    return x * (attention < threshold).astype(x.dtype)
+
+
+def feature_noise(rng: jax.Array, x: jnp.ndarray, uniform_range: float = 0.3) -> jnp.ndarray:
+    """Multiplicative uniform feature noise (unet.py:483-496)."""
+    noise = jax.random.uniform(rng, x.shape[1:], minval=-uniform_range,
+                               maxval=uniform_range, dtype=x.dtype)[None]
+    return x * noise + x

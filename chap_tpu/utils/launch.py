@@ -1,0 +1,48 @@
+"""Experiment run-dir management.
+
+Rebuild of the missing ``utils.launch.init_save_folder`` contract
+(train_ours_2D.py:558; run-id layout confirmed by test_2D_fully.py:102-103):
+creates and returns ``<snapshot>/<model>/run_N`` with N = first free index.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+
+
+def init_save_folder(snapshot_path: str, model: str) -> str:
+    base = os.path.join(snapshot_path, model)
+    os.makedirs(base, exist_ok=True)
+    n = 0
+    while os.path.exists(os.path.join(base, f"run_{n}")):
+        n += 1
+    run_dir = os.path.join(base, f"run_{n}")
+    os.makedirs(run_dir)
+    return run_dir
+
+
+def setup_logging(save_dir: str) -> None:
+    # log.txt + stdout, matching train_ours_2D.py:567-570
+    logging.basicConfig(
+        filename=os.path.join(save_dir, "log.txt"),
+        level=logging.INFO,
+        format="[%(asctime)s.%(msecs)03d] %(message)s",
+        datefmt="%H:%M:%S",
+        force=True,
+    )
+    logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
+
+
+def write_doc(save_dir: str, text: str) -> None:
+    # free-text experiment description, matching train_ours_2D.py:562-565
+    with open(os.path.join(save_dir, "doc.txt"), "w") as f:
+        f.write(text)
+
+
+def dump_config(save_dir: str, cfg_dict: dict) -> None:
+    # experiment provenance: persist the resolved config instead of copying
+    # the training script (reference copies train_*.py, train_ours_2D.py:559)
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        json.dump(cfg_dict, f, indent=2, default=str)
