@@ -1,0 +1,101 @@
+"""Slice-wise 2D volume evaluation.
+
+Rebuild of val_2D.test_single_volume (val_2D.py:54-97): zoom each slice to the
+network size, forward, argmax, zoom back, per-class Dice+HD95. TPU-first: the
+reference runs ONE synchronous device roundtrip per slice at batch 1; here all
+slices of a volume are zoomed on host, stacked, forwarded in a few fixed-size
+batches (padded to a bucket so the jit cache stays small), and only the final
+label map returns to host.
+
+Ensemble modes match val_2D.py:66-80: model1 | model2 | logit_ensemble |
+prob_ensemble (and plain single-output models).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chap_tpu.data.transforms import resize_slice
+from chap_tpu.metrics.surface import calculate_metric_percase, calculate_metric_percase_full
+
+
+def make_predictor(model, model_type: str = "logit_ensemble") -> Callable:
+    """Jitted fn(variables, x[B,H,W,1]) -> label map [B,H,W] int32."""
+
+    @jax.jit
+    def predict(variables, x):
+        out = model.apply(variables, x, train=False)
+        if isinstance(out, (tuple, list)):
+            o1, o2 = out[0], out[1]
+            if model_type == "model1":
+                prob = jax.nn.softmax(o1, axis=-1)
+            elif model_type == "model2":
+                prob = jax.nn.softmax(o2, axis=-1)
+            elif model_type == "logit_ensemble":
+                prob = jax.nn.softmax((o1 + o2) / 2.0, axis=-1)
+            elif model_type == "prob_ensemble":
+                prob = (jax.nn.softmax(o1, axis=-1) + jax.nn.softmax(o2, axis=-1)) / 2.0
+            else:
+                raise ValueError(model_type)
+        else:
+            prob = jax.nn.softmax(out, axis=-1)
+        return jnp.argmax(prob, axis=-1).astype(jnp.int32)
+
+    return predict
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def predict_volume(predict: Callable, variables, image: np.ndarray,
+                   patch_size: Sequence[int] = (256, 256),
+                   slice_batch: int = 16) -> np.ndarray:
+    """image: [D,H,W] float -> prediction [D,H,W] int. Batched slice inference
+    with D padded to a multiple of slice_batch (static shapes, one compile)."""
+    d, x, y = image.shape
+    slices = np.stack([resize_slice(image[i], patch_size, order=0)
+                       for i in range(d)]).astype(np.float32)
+    d_pad = _round_up(d, slice_batch)
+    if d_pad != d:
+        slices = np.concatenate(
+            [slices, np.zeros((d_pad - d,) + slices.shape[1:], np.float32)])
+    preds = []
+    for start in range(0, d_pad, slice_batch):
+        chunk = jnp.asarray(slices[start:start + slice_batch][..., None])
+        preds.append(np.asarray(predict(variables, chunk)))
+    pred = np.concatenate(preds)[:d]
+    if (x, y) != tuple(patch_size):
+        pred = np.stack([resize_slice(pred[i].astype(np.float32), (x, y), order=0)
+                         for i in range(d)]).astype(np.int32)
+    return pred
+
+
+def test_single_volume(image: np.ndarray, label: np.ndarray, predict: Callable,
+                       variables, classes: int,
+                       patch_size: Sequence[int] = (256, 256),
+                       full_metrics: bool = False) -> List[Tuple]:
+    """Per-class (dice, hd95[, asd, jc]) like val_2D.py:93-97 /
+    test_2D_fully.py:81-83."""
+    prediction = predict_volume(predict, variables, np.asarray(image), patch_size)
+    label = np.asarray(label)
+    metric_fn = calculate_metric_percase_full if full_metrics else calculate_metric_percase
+    return [metric_fn(prediction == c, label == c) for c in range(1, classes)]
+
+
+def evaluate_volumes(dataset, predict: Callable, variables, classes: int,
+                     patch_size: Sequence[int] = (256, 256),
+                     full_metrics: bool = False) -> np.ndarray:
+    """Mean per-class metrics over a volume dataset (train_ours_2D.py:407-415)."""
+    total = None
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        m = np.array(test_single_volume(sample["image"], sample["label"],
+                                        predict, variables, classes, patch_size,
+                                        full_metrics))
+        total = m if total is None else total + m
+    return total / len(dataset)

@@ -2,10 +2,20 @@
 
 Rebuild of get_ACDC_masks / get_ACDC_2DLargestCC (train_ours_2D.py:103-144):
 for each sample and each foreground class, keep only the largest connected
-component of the argmax prediction. Connected components are not XLA-friendly,
-so — like the reference's CPU roundtrip through skimage — this runs on host
-via ``jax.pure_callback``, but BATCHED: one callback per step for the whole
-batch instead of one .cpu() sync per sample/class.
+component of the argmax prediction.
+
+TPU-first: the reference round-trips every sample through the host
+(.detach().cpu().numpy() + skimage.label, train_ours_2D.py:114-136) — a
+device->host sync in the middle of every train step. Here connected
+components are computed ON DEVICE with an iterative label-propagation
+(pointer-doubling style max-propagation under a while_loop): seed every
+foreground pixel with its linear index, repeatedly take the 8-neighbourhood
+max within the mask until fixpoint, then keep the component whose size
+(scatter-add histogram) is largest. Everything stays inside the jitted step —
+no host callback (which the axon TPU runtime doesn't support anyway).
+
+A numpy host implementation with identical 8-connectivity semantics is kept
+for post-processing outside jit and for parity tests.
 """
 from __future__ import annotations
 
@@ -14,33 +24,84 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import ndimage
 
-
 def _largest_cc_host(segmentation: np.ndarray, num_classes: int) -> np.ndarray:
-    """[B,H,W] int -> [B,H,W] int with per-class largest CC retained."""
+    """[B,...spatial] int -> same, with per-class largest CC retained
+    (full connectivity, matching skimage.measure.label's default)."""
     seg = np.asarray(segmentation)
     out = np.zeros_like(seg)
+    structure = np.ones((3,) * (seg.ndim - 1), bool)
     for i in range(seg.shape[0]):
         for c in range(1, num_classes):
             mask = seg[i] == c
             if not mask.any():
                 continue
-            labels, n = ndimage.label(mask)
+            labels, n = ndimage.label(mask, structure=structure)
             if n == 0:
                 continue
             sizes = np.bincount(labels.ravel())[1:]
-            largest = (labels == (np.argmax(sizes) + 1))
+            largest = labels == (np.argmax(sizes) + 1)
             out[i][largest] = c
     return out.astype(seg.dtype)
 
 
+def _propagate_max(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """One 8-neighbourhood max-propagation step restricted to the mask.
+
+    labels: [B,H,W] int32 (-1 outside mask); mask: [B,H,W] bool.
+    """
+    neigh = jax.lax.reduce_window(
+        labels, jnp.int32(-1), jax.lax.max,
+        window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
+        padding="SAME")
+    return jnp.where(mask, jnp.maximum(labels, neigh), -1)
+
+
+def _label_mask_batch(mask: jnp.ndarray) -> jnp.ndarray:
+    """Connected-component labels of a [B,H,W] bool mask: each component gets
+    the max linear index it contains; background = -1."""
+    b, h, w = mask.shape
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w)
+    labels = jnp.where(mask, jnp.broadcast_to(idx, mask.shape), -1)
+
+    def cond(carry):
+        labels, prev, _ = carry
+        return jnp.any(labels != prev)
+
+    def body(carry):
+        labels, _, it = carry
+        new = _propagate_max(labels, mask)
+        # pointer-doubling acceleration: jump each pixel to its current
+        # representative's label (gather), halving the remaining diameter
+        flat = new.reshape(b, h * w)
+        jumped = jnp.take_along_axis(flat, jnp.maximum(flat, 0), axis=1)
+        jumped = jnp.where(flat >= 0, jumped, -1).reshape(b, h, w)
+        return jumped, labels, it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.full_like(labels, -2), jnp.int32(0)))
+    return labels
+
+
+def largest_cc_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """[B,H,W] bool -> bool mask of each sample's largest component."""
+    b, h, w = mask.shape
+    labels = _label_mask_batch(mask)
+    flat = labels.reshape(b, h * w)
+    # histogram of component sizes; bin 0 = background (-1 shifted)
+    sizes = jnp.zeros((b, h * w + 1), jnp.int32)
+    sizes = sizes.at[jnp.arange(b)[:, None], flat + 1].add(1)
+    largest_bin = jnp.argmax(sizes.at[:, 0].set(0), axis=1)  # ignore background
+    keep = (flat + 1) == largest_bin[:, None]
+    return keep.reshape(b, h, w) & mask
+
+
 def largest_cc_batch(segmentation: jnp.ndarray, num_classes: int) -> jnp.ndarray:
-    """Jit-safe batched largest-CC via host callback."""
-    return jax.pure_callback(
-        lambda s: _largest_cc_host(s, num_classes),
-        jax.ShapeDtypeStruct(segmentation.shape, segmentation.dtype),
-        segmentation,
-        vmap_method="sequential",
-    )
+    """Jit-safe per-class largest-CC cleanup of [B,H,W] integer label maps."""
+    out = jnp.zeros_like(segmentation)
+    for c in range(1, num_classes):
+        keep = largest_cc_mask(segmentation == c)
+        out = jnp.where(keep, c, out)
+    return out
 
 
 def get_masks_with_nms(logits: jnp.ndarray, num_classes: int, nms: bool = True) -> jnp.ndarray:

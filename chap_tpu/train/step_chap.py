@@ -1,0 +1,207 @@
+"""The CHAP semi-supervised train step — one jitted XLA program.
+
+Rebuild of the reference hot loop (train_ours_2D.py:302-405, SURVEY.md §3.1):
+teacher pass, largest-CC pseudo-label cleanup, BCP mixing, 4x mixed
+supervision, gradient-similarity channel-dropout consistency, and VAT
+adversarial consistency — all traced into a single step function. The
+reference's eager multi-pass python (separate no_grad pass, extra
+forward+backward for GradSim, K VAT power-iteration passes, optimizer
+bookkeeping) collapses into one compiled graph per step; the only host
+round-trip is the batched largest-CC callback (matching the reference's own
+CPU NMS roundtrip, train_ours_2D.py:114-136).
+
+Semantics notes (reconstructed where the reference's utils.losses is missing):
+  * VAT runs on the unlabeled half ``uimg_ab`` against the clean teacher soft
+    predictions, gated by the top-k disagreement mask (the reference passes
+    the full 24-batch to VAT2d while its soft targets/mask are 12-batch — the
+    unlabeled-batch reading is the only shape-consistent one).
+  * GradSim's two extra gradients (labeled-vs-unlabeled loss) are pulled from
+    ONE shared linearization via jax.vjp instead of two more eager backwards.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from chap_tpu.config import Config
+from chap_tpu.losses.ce import cross_entropy, cross_entropy_per_pixel
+from chap_tpu.losses.mix import mix_loss
+from chap_tpu.losses.vat import vat_loss_2d
+from chap_tpu.semi.bcp import generate_mask, mix_images
+from chap_tpu.semi.gradsim import update_grad_sim
+from chap_tpu.semi.nms import largest_cc_batch
+from chap_tpu.semi.patchmask import create_mask_v1
+from chap_tpu.train.state import TrainState
+from chap_tpu.utils.ramps import sigmoid_rampup
+
+
+class StepOutput(NamedTuple):
+    state: TrainState
+    metrics: Dict[str, jnp.ndarray]
+
+
+def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True):
+    """Returns step(state, batch, rng) -> StepOutput, jit-compiled.
+
+    batch: {'image': [B,H,W,1] float, 'label': [B,H,W] int} with the
+    two-stream layout [labeled_bs labeled ; B-labeled_bs unlabeled].
+    """
+    num_classes = cfg.data.num_classes
+    labeled_bs = cfg.data.labeled_bs
+    sub_bs = labeled_bs // 2
+    semi = cfg.semi
+
+    def apply_model(params, batch_stats, x, rng=None, train=True, mutable=True,
+                    **kwargs):
+        variables = {"params": params, "batch_stats": batch_stats}
+        rngs = {}
+        if rng is not None:
+            r_drop, r_pert = jax.random.split(rng)
+            rngs = {"dropout": r_drop, "perturb": r_pert}
+        if mutable:
+            (o1, o2), updates = model.apply(variables, x, train=train,
+                                            mutable=["batch_stats"], rngs=rngs,
+                                            **kwargs)
+            return o1, o2, updates["batch_stats"]
+        out = model.apply(variables, x, train=train, rngs=rngs, **kwargs)
+        return out
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+             ) -> StepOutput:
+        image, label = batch["image"], batch["label"]
+        r_teacher, r_mask, r_student, r_fp, r_vat = jax.random.split(rng, 5)
+
+        img_a, img_b = image[:sub_bs], image[sub_bs:labeled_bs]
+        uimg_a = image[labeled_bs:labeled_bs + sub_bs]
+        uimg_b = image[labeled_bs + sub_bs:]
+        lab_a, lab_b = label[:sub_bs], label[sub_bs:labeled_bs]
+        uimg_ab = jnp.concatenate([uimg_a, uimg_b])
+
+        # ---- teacher pass (no grad): pseudo labels + knowledge ------------
+        pre_ab1, pre_ab2, bs1 = apply_model(
+            jax.lax.stop_gradient(state.params), state.batch_stats, uimg_ab,
+            rng=r_teacher)
+        pre_ab1 = jax.lax.stop_gradient(pre_ab1)
+        pre_ab2 = jax.lax.stop_gradient(pre_ab2)
+        soft1 = jax.nn.softmax(pre_ab1, axis=-1)
+        soft2 = jax.nn.softmax(pre_ab2, axis=-1)
+        pseudo1 = jnp.argmax(soft1, axis=-1).astype(jnp.int32)
+        pseudo2 = jnp.argmax(soft2, axis=-1).astype(jnp.int32)
+        knowledge = (cross_entropy_per_pixel(pre_ab1, pseudo2)
+                     + cross_entropy_per_pixel(pre_ab2, pseudo1))
+
+        # largest-CC cleanup of all 4 pseudo chunks in ONE host callback
+        pseudo_all = jnp.concatenate([
+            jnp.argmax(pre_ab1[:sub_bs], -1), jnp.argmax(pre_ab1[sub_bs:], -1),
+            jnp.argmax(pre_ab2[:sub_bs], -1), jnp.argmax(pre_ab2[sub_bs:], -1),
+        ]).astype(jnp.int32)
+        if use_nms:
+            pseudo_all = largest_cc_batch(pseudo_all, num_classes)
+        plab_a1 = pseudo_all[:sub_bs]
+        plab_b1 = pseudo_all[sub_bs:2 * sub_bs]
+        plab_a2 = pseudo_all[2 * sub_bs:3 * sub_bs]
+        plab_b2 = pseudo_all[3 * sub_bs:]
+
+        # ---- BCP mixing ----------------------------------------------------
+        h, w = image.shape[1], image.shape[2]
+        img_mask = generate_mask(r_mask, h, w)               # [H,W] {0,1}
+        loss_mask = jnp.broadcast_to(img_mask[None], (sub_bs, h, w))
+        net_input_unl = mix_images(uimg_a, img_a, img_mask)
+        net_input_l = mix_images(img_b, uimg_b, img_mask)
+        net_input_mix = jnp.concatenate([net_input_l, net_input_unl])
+
+        consistency_weight = semi.consistency * sigmoid_rampup(
+            state.step // 150, semi.consistency_rampup)
+
+        # ---- differentiated losses ----------------------------------------
+        def losses_fn(params):
+            out_mix1, out_mix2, bs2 = apply_model(params, bs1, net_input_mix,
+                                                  rng=r_student)
+            out_l1, out_unl1 = out_mix1[:sub_bs], out_mix1[sub_bs:]
+            out_l2, out_unl2 = out_mix2[:sub_bs], out_mix2[sub_bs:]
+
+            lu_out1, ll_in1, m1 = mix_loss(out_unl1, plab_a2, lab_a, loss_mask,
+                                           num_classes, u_weight=0.5, unlab=True)
+            lu_out2, ll_in2, m2 = mix_loss(out_unl2, plab_a1, lab_a, loss_mask,
+                                           num_classes, u_weight=0.5, unlab=True)
+            ll_out1, lu_in1, m3 = mix_loss(out_l1, lab_b, plab_b2, loss_mask,
+                                           num_classes, u_weight=0.5)
+            ll_out2, lu_in2, m4 = mix_loss(out_l2, lab_b, plab_b1, loss_mask,
+                                           num_classes, u_weight=0.5)
+            bcp_loss = m1 + m2 + m3 + m4
+            loss_l = ll_in1 + ll_in2 + ll_out1 + ll_out2
+            loss_u = lu_in1 + lu_in2 + lu_out1 + lu_out2
+
+            bs_final = bs2
+            if semi.dropout:
+                # channel-dropout consistency on the unlabeled batch
+                fp1, fp2, bs3 = apply_model(
+                    params, bs2, uimg_ab, rng=r_fp,
+                    dropout_level=(0, 1, 2, 3, 4),
+                    scores=list(state.sim_scores),
+                    comp_dropout=semi.comp_drop)
+                fp_loss = (cross_entropy(fp1, pseudo2)
+                           + cross_entropy(fp2, pseudo1))
+                bs_final = bs3
+            else:
+                fp_loss = jnp.zeros(())
+
+            if semi.adv_noise:
+                diff_mask = create_mask_v1(pseudo1, pseudo2, knowledge,
+                                           scale_factor=4, topk=semi.topk1)
+
+                def vat_apply(x):
+                    # train-mode BN like the reference's perturbed passes;
+                    # running-stat updates from VAT passes are discarded
+                    o1, o2, _ = apply_model(params, bs_final, x, rng=r_vat)
+                    return o1, o2
+
+                vat = vat_loss_2d(
+                    vat_apply,
+                    uimg_ab, soft1, soft2, diff_mask, r_vat,
+                    xi=semi.noise_mag, epi=semi.adv_epi,
+                    losstype=semi.adv_losstype)
+            else:
+                vat = jnp.zeros(())
+
+            total = bcp_loss + consistency_weight * (
+                semi.w_drop * fp_loss + semi.w_adv * vat)
+            aux = {"batch_stats": bs_final, "bcp_loss": bcp_loss,
+                   "loss_l": loss_l, "loss_u": loss_u, "fp_loss": fp_loss,
+                   "vat_loss": vat}
+            return jnp.stack([total, loss_l, loss_u]), aux
+
+        vals, pullback, aux = jax.vjp(losses_fn, state.params, has_aux=True)
+        grads = pullback(jnp.array([1.0, 0.0, 0.0], vals.dtype))[0]
+
+        sim_scores = state.sim_scores
+        if semi.dropout:
+            grads_l = pullback(jnp.array([0.0, 1.0, 0.0], vals.dtype))[0]
+            grads_u = pullback(jnp.array([0.0, 0.0, 1.0], vals.dtype))[0]
+            sim_scores = update_grad_sim(sim_scores, grads_l, grads_u)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=aux["batch_stats"],
+            opt_state=opt_state,
+            sim_scores=sim_scores,
+        )
+        metrics = {
+            "loss": vals[0],
+            "bcp_loss": aux["bcp_loss"],
+            "loss_l": aux["loss_l"],
+            "loss_u": aux["loss_u"],
+            "fp_loss": aux["fp_loss"],
+            "vat_loss": aux["vat_loss"],
+            "consistency_weight": consistency_weight,
+        }
+        return StepOutput(new_state, metrics)
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,55 @@
+"""Supervised baseline train step: CE + dice on labeled slices.
+
+The reference's fully-supervised protocol (loss 0.5*(CE + Dice), the standard
+supervised arm of train_share_encoder_2D.py:322-327), applied to either a
+single- or dual-decoder model. This is BASELINE.json config #1 (CPU-runnable
+ACDC supervised).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from chap_tpu.config import Config
+from chap_tpu.losses.ce import cross_entropy
+from chap_tpu.losses.dice import dice_loss
+from chap_tpu.train.state import TrainState
+from chap_tpu.train.step_chap import StepOutput
+
+
+def build_supervised_train_step(model, optimizer, cfg: Config,
+                                dual: bool = True):
+    num_classes = cfg.data.num_classes
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+             ) -> StepOutput:
+        image, label = batch["image"], batch["label"]
+        r_drop, r_pert = jax.random.split(rng)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                image, train=True, mutable=["batch_stats"],
+                rngs={"dropout": r_drop, "perturb": r_pert})
+            if dual:
+                o1, o2 = out
+                p1 = jax.nn.softmax(o1, axis=-1)
+                p2 = jax.nn.softmax(o2, axis=-1)
+                loss1 = 0.5 * (cross_entropy(o1, label) + dice_loss(p1, label, num_classes))
+                loss2 = 0.5 * (cross_entropy(o2, label) + dice_loss(p2, label, num_classes))
+                loss = loss1 + loss2
+            else:
+                p = jax.nn.softmax(out, axis=-1)
+                loss = 0.5 * (cross_entropy(out, label) + dice_loss(p, label, num_classes))
+            return loss, updates["batch_stats"]
+
+        (loss, batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=batch_stats, opt_state=opt_state)
+        return StepOutput(new_state, {"loss": loss})
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -7,6 +7,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+# jax may already be imported by a pytest plugin, in which case the env var
+# was read too early — force the config value before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

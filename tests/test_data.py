@@ -1,0 +1,67 @@
+import numpy as np
+
+from chap_tpu.data import (
+    BatchLoader,
+    RandomGenerator,
+    SyntheticSliceDataset,
+    SyntheticVolumeDataset,
+    TwoStreamBatchSampler,
+)
+from chap_tpu.data.datasets import patients_to_slices
+
+
+def test_two_stream_sampler_layout():
+    sampler = TwoStreamBatchSampler(list(range(20)), list(range(20, 100)),
+                                    batch_size=8, secondary_batch_size=4)
+    batches = list(sampler)
+    assert len(batches) == 5  # 20 // 4
+    for batch in batches:
+        assert len(batch) == 8
+        assert all(i < 20 for i in batch[:4])       # labeled head
+        assert all(i >= 20 for i in batch[4:])      # unlabeled tail
+
+
+def test_two_stream_sampler_epoch_coverage():
+    sampler = TwoStreamBatchSampler(list(range(12)), list(range(12, 40)), 6, 3)
+    seen = [i for b in sampler for i in b[:3]]
+    assert sorted(seen) == list(range(12))  # every labeled idx exactly once
+
+
+def test_synthetic_slice_deterministic():
+    ds = SyntheticSliceDataset(size=64, num_classes=4, length=10)
+    a, b = ds[3], ds[3]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    assert a["label"].max() <= 3
+    assert set(np.unique(ds[0]["label"])) <= {0, 1, 2, 3}
+
+
+def test_synthetic_volume_shape():
+    ds = SyntheticVolumeDataset(shape=(5, 64, 64), num_classes=4, length=2)
+    v = ds[0]
+    assert v["image"].shape == (5, 64, 64)
+    assert v["label"].shape == (5, 64, 64)
+
+
+def test_random_generator_resizes():
+    gen = RandomGenerator([64, 64], seed=0)
+    out = gen({"image": np.random.rand(100, 90).astype(np.float32),
+               "label": np.random.randint(0, 4, (100, 90))})
+    assert out["image"].shape == (64, 64)
+    assert out["label"].shape == (64, 64)
+    assert out["label"].dtype == np.int32
+
+
+def test_batch_loader_order_and_collation():
+    ds = SyntheticSliceDataset(size=32, num_classes=4, length=40)
+    sampler = TwoStreamBatchSampler(list(range(16)), list(range(16, 40)), 8, 4)
+    loader = BatchLoader(ds, sampler, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 4
+    for b in batches:
+        assert b["image"].shape == (8, 32, 32, 1)
+        assert b["label"].shape == (8, 32, 32)
+
+
+def test_patients_to_slices_table():
+    assert patients_to_slices("ACDC", 7) == 136
+    assert patients_to_slices("synthetic", 3) == 68
