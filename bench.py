@@ -1,0 +1,64 @@
+"""Benchmark harness — headline metric: 3D patches/sec/chip on the LA
+sliding-window inference protocol (VNet, patch (112,112,80), stride 18/4,
+test_LA.py:50-53), the reference's throughput-critical path (SURVEY.md §3.4).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the divisor is
+the documented estimate of the PyTorch reference's eager batch-1 A100
+throughput on this protocol (~70 patches/s: one synchronous host->device->host
+roundtrip per (1,1,112,112,80) forward). The north-star target is >=5x.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_EAGER_BASELINE_PATCHES_PER_SEC = 70.0
+
+
+def main() -> None:
+    from chap_tpu.config import ModelConfig
+    from chap_tpu.eval.sliding_window import SlidingWindowEngine, compute_grid
+    from chap_tpu.models import net_factory_3d
+
+    cfg = ModelConfig()
+    patch = (112, 112, 80)
+    stride_xy, stride_z = 18, 4
+    num_classes = 2
+    sw_batch = 8
+
+    model = net_factory_3d("vnet", 1, num_classes, mode="test", cfg=cfg)
+    sample = jnp.zeros((sw_batch, *patch, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, sample, train=False)
+
+    # LA-like synthetic volume
+    rng = np.random.RandomState(0)
+    volume = rng.rand(160, 160, 88).astype(np.float32)
+    n_patches = compute_grid(volume.shape, patch, stride_xy, stride_z).shape[0]
+
+    engine = SlidingWindowEngine(model, patch, sw_batch=sw_batch)
+    # warmup (compile)
+    engine.predict(variables, volume, stride_xy, stride_z, num_classes)
+
+    repeats = 3
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        engine.predict(variables, volume, stride_xy, stride_z, num_classes)
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = n_patches * repeats / dt
+    print(json.dumps({
+        "metric": "la_sliding_window_3d",
+        "value": round(patches_per_sec, 2),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(patches_per_sec / A100_EAGER_BASELINE_PATCHES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

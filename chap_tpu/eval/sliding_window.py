@@ -49,45 +49,65 @@ def compute_grid(shape: Tuple[int, int, int], patch: Tuple[int, int, int],
 
 
 class SlidingWindowEngine:
-    """Holds the jit-compiled patch-batch program for one (model, patch,
-    batch) configuration; reuse across cases to amortize compilation."""
+    """Holds the jit-compiled whole-volume program for one (model, patch,
+    batch) configuration; reuse across cases to amortize compilation.
+
+    The ENTIRE grid runs in one dispatch: a lax.scan over patch batches with
+    the score/count maps as carry — gather (vmap dynamic_slice), batched
+    forward, scatter-add (dynamic_update_slice read-modify-write), then
+    on-device argmax. One host->device volume upload, one label-map download.
+    Compute optionally in bfloat16 (MXU native); accumulation stays float32.
+    """
 
     def __init__(self, model, patch_size: Tuple[int, int, int],
-                 sw_batch: int = 8):
+                 sw_batch: int = 8, compute_dtype=jnp.float32):
         self.model = model
         self.patch = tuple(patch_size)
         self.sw_batch = sw_batch
+        self.compute_dtype = compute_dtype
         patch = self.patch
 
-        def step(variables, volume, score, cnt, starts, valid):
-            def gather(s):
-                return jax.lax.dynamic_slice(volume, (s[0], s[1], s[2]), patch)
+        def run(variables, volume, starts, valid, num_classes: int):
+            shape = volume.shape
+            score0 = jnp.zeros(shape + (num_classes,), jnp.float32)
+            cnt0 = jnp.zeros(shape, jnp.float32)
+            vol_c = volume.astype(compute_dtype)
 
-            patches = jax.vmap(gather)(starts)                 # [B,pw,ph,pd]
-            out = model.apply(variables, patches[..., None], train=False)
-            if isinstance(out, (tuple, list)):
-                # dual-decoder logit ensemble (test_2D_fully.py:72 semantics)
-                out = (out[0] + out[1]) / 2.0
-            probs = jax.nn.softmax(out, axis=-1)
-            probs = probs * valid[:, None, None, None, None]
-
-            def body(i, carry):
+            def scan_body(carry, batch_in):
                 sc, ct = carry
-                s = starts[i]
-                idx4 = (s[0], s[1], s[2], 0)
-                region = jax.lax.dynamic_slice(sc, idx4, patch + (sc.shape[-1],))
-                sc = jax.lax.dynamic_update_slice(sc, region + probs[i], idx4)
-                creg = jax.lax.dynamic_slice(ct, (s[0], s[1], s[2]), patch)
-                ct = jax.lax.dynamic_update_slice(ct, creg + valid[i],
-                                                  (s[0], s[1], s[2]))
-                return sc, ct
+                b_starts, b_valid = batch_in
 
-            return jax.lax.fori_loop(0, starts.shape[0], body, (score, cnt),
-                                     unroll=True)
+                def gather(s):
+                    return jax.lax.dynamic_slice(vol_c, (s[0], s[1], s[2]), patch)
 
-        self._step = jax.jit(step, donate_argnums=(2, 3))
-        self._argmax = jax.jit(lambda score, cnt: jnp.argmax(
-            score / jnp.maximum(cnt, 1e-8)[..., None], axis=-1).astype(jnp.int32))
+                patches = jax.vmap(gather)(b_starts)          # [B,pw,ph,pd]
+                out = model.apply(variables, patches[..., None], train=False)
+                if isinstance(out, (tuple, list)):
+                    # dual-decoder logit ensemble (test_2D_fully.py:72)
+                    out = (out[0] + out[1]) / 2.0
+                probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+                probs = probs * b_valid[:, None, None, None, None]
+
+                def body(i, carry2):
+                    sc2, ct2 = carry2
+                    s = b_starts[i]
+                    idx4 = (s[0], s[1], s[2], 0)
+                    region = jax.lax.dynamic_slice(sc2, idx4, patch + (sc2.shape[-1],))
+                    sc2 = jax.lax.dynamic_update_slice(sc2, region + probs[i], idx4)
+                    creg = jax.lax.dynamic_slice(ct2, (s[0], s[1], s[2]), patch)
+                    ct2 = jax.lax.dynamic_update_slice(
+                        ct2, creg + b_valid[i], (s[0], s[1], s[2]))
+                    return sc2, ct2
+
+                sc, ct = jax.lax.fori_loop(0, b_starts.shape[0], body, (sc, ct))
+                return (sc, ct), None
+
+            (score, cnt), _ = jax.lax.scan(scan_body, (score0, cnt0),
+                                           (starts, valid))
+            return jnp.argmax(score / jnp.maximum(cnt, 1e-8)[..., None],
+                              axis=-1).astype(jnp.int32)
+
+        self._run = jax.jit(run, static_argnums=(4,))
 
     def predict(self, variables, image: np.ndarray, stride_xy: int,
                 stride_z: int, num_classes: int, nms: bool = False) -> np.ndarray:
@@ -107,16 +127,12 @@ class SlidingWindowEngine:
         if n_pad != n:
             starts = np.concatenate([starts, np.zeros((n_pad - n, 3), np.int32)])
             valid[n:] = 0.0
+        starts = starts.reshape(-1, self.sw_batch, 3)
+        valid = valid.reshape(-1, self.sw_batch)
 
-        volume = jnp.asarray(image.astype(np.float32))
-        score = jnp.zeros(shape + (num_classes,), jnp.float32)
-        cnt = jnp.zeros(shape, jnp.float32)
-        for b in range(0, n_pad, self.sw_batch):
-            score, cnt = self._step(variables, volume, score, cnt,
-                                    jnp.asarray(starts[b:b + self.sw_batch]),
-                                    jnp.asarray(valid[b:b + self.sw_batch]))
-
-        label_map = np.asarray(self._argmax(score, cnt))
+        label_map = np.asarray(self._run(
+            variables, jnp.asarray(image.astype(np.float32)),
+            jnp.asarray(starts), jnp.asarray(valid), num_classes))
         if any(pads):
             label_map = label_map[pad_lo[0]:pad_lo[0] + w,
                                   pad_lo[1]:pad_lo[1] + h,

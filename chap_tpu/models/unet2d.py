@@ -124,8 +124,13 @@ class DualDecoder(nn.Module):
                  with_feat: bool = False,
                  dropout_level: Optional[Sequence[int]] = None,
                  scores: Optional[Sequence[Optional[jnp.ndarray]]] = None,
-                 comp_dropout: bool = False):
+                 comp_dropout: bool = False,
+                 stop_encoder_grad: bool = False):
         feature = self.encoder(x, train=train)
+        if stop_encoder_grad:
+            # ACAL decoder max-step: encoder frozen (the reference's
+            # torch.no_grad encoder pass, train_share_encoder_2D.py:216-217)
+            feature = [jax.lax.stop_gradient(f) for f in feature]
         if dropout_level is not None:
             rng = self.make_rng("perturb")
             f1, f2 = perform_dropout(rng, feature, dropout_level, scores, comp_dropout)

@@ -1,0 +1,132 @@
+"""2D training loop — the rebuild of train_ours_2D.train (train_ours_2D.py:219-464).
+
+Orchestration only; all math lives in the jitted step:
+  - two-stream batches stream through the threaded BatchLoader and are
+    device_put with batch-dim sharding over the mesh (data-parallel);
+  - every `eval_every` steps (200 in the reference), the full val set is
+    evaluated with the batched slice evaluator, latest/best checkpoints are
+    written, and val.csv is appended on improvement;
+  - scalar metrics go to metrics.jsonl (+TB if available).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chap_tpu.config import Config
+from chap_tpu.data.datasets import build_datasets, patients_to_slices
+from chap_tpu.data.pipeline import BatchLoader, prefetch_to_device
+from chap_tpu.data.sampler import TwoStreamBatchSampler
+from chap_tpu.data.transforms import RandomGenerator
+from chap_tpu.eval.eval2d import evaluate_volumes, make_predictor
+from chap_tpu.models import net_factory
+from chap_tpu.parallel.mesh import MeshSpec, batch_sharding, build_mesh, replicate
+from chap_tpu.train.state import create_train_state, make_optimizer
+from chap_tpu.train.step_chap import build_chap_train_step
+from chap_tpu.train.step_supervised import build_supervised_train_step
+from chap_tpu.utils.checkpoint import CheckpointManager
+from chap_tpu.utils.metrics_writer import MetricsWriter
+
+
+def train(cfg: Config, snapshot_path: str, mode: str = "chap",
+          max_steps: Optional[int] = None, resume: bool = False) -> dict:
+    """Returns {'best_dice': float, 'steps': int}."""
+    rng = jax.random.PRNGKey(cfg.run.seed)
+    num_classes = cfg.data.num_classes
+
+    mesh = build_mesh(cfg.parallel.num_devices,
+                      MeshSpec(dcn_size=cfg.parallel.dcn_axis_size))
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    assert cfg.data.batch_size % n_dev == 0, \
+        f"global batch {cfg.data.batch_size} must divide over {n_dev} devices"
+
+    model = net_factory(cfg.model.name, cfg.data.in_chns, num_classes, cfg.model)
+    optimizer = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations,
+                               cfg.optim.momentum, cfg.optim.weight_decay,
+                               cfg.optim.poly_power)
+
+    sample = jnp.zeros((cfg.data.batch_size, *cfg.data.image_size, cfg.data.in_chns))
+    rng, init_rng = jax.random.split(rng)
+    state = create_train_state(model, init_rng, sample, optimizer,
+                               sim_chns=tuple(cfg.model.feature_chns))
+    state = replicate(mesh, state)
+
+    ckpt = CheckpointManager(snapshot_path)
+    if resume:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state = replicate(mesh, restored)
+            logging.info("resumed from step %d", int(state.step))
+
+    if mode == "chap":
+        step_fn = build_chap_train_step(model, optimizer, cfg, use_nms=True)
+    else:
+        step_fn = build_supervised_train_step(model, optimizer, cfg, dual=True)
+
+    transform = RandomGenerator(cfg.data.image_size, seed=cfg.run.seed)
+    db_train, db_val = build_datasets(cfg.data, transform)
+    total_slices = len(db_train)
+    labeled_slice = patients_to_slices(cfg.data.dataset, cfg.data.labeled_num)
+    logging.info("Total slices %d, labeled slices %d", total_slices, labeled_slice)
+
+    writer = MetricsWriter(snapshot_path)
+    predictor = make_predictor(model, cfg.eval.model_type)
+
+    max_iterations = max_steps or cfg.optim.max_iterations
+    best_performance = 0.0
+    data_sharding = batch_sharding(mesh, 4)
+    label_sharding = batch_sharding(mesh, 3)
+
+    def shard(batch):
+        return {"image": jax.device_put(batch["image"], data_sharding),
+                "label": jax.device_put(batch["label"], label_sharding)}
+
+    iter_num = int(state.step)
+    t_start = time.time()
+    while iter_num < max_iterations:
+        sampler = TwoStreamBatchSampler(
+            list(range(labeled_slice)), list(range(labeled_slice, total_slices)),
+            cfg.data.batch_size, cfg.data.batch_size - cfg.data.labeled_bs,
+            seed=cfg.run.seed + iter_num)
+        loader = BatchLoader(db_train, sampler, cfg.data.num_workers)
+        for batch in prefetch_to_device(loader, size=2, transform=shard):
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng)
+            iter_num += 1
+
+            if iter_num % cfg.run.log_every == 0:
+                scalars = {k: float(v) for k, v in metrics.items()}
+                scalars["steps_per_sec"] = iter_num / (time.time() - t_start)
+                writer.write(iter_num, scalars)
+                logging.info("iteration %d : loss : %.4f", iter_num, scalars["loss"])
+
+            if iter_num > 0 and iter_num % cfg.eval.eval_every == 0:
+                variables = {"params": state.params, "batch_stats": state.batch_stats}
+                metric_list = evaluate_volumes(db_val, predictor, variables,
+                                               num_classes, cfg.data.image_size)
+                performance = float(np.mean(metric_list, axis=0)[0])
+                mean_hd95 = float(np.mean(metric_list, axis=0)[1])
+                writer.write(iter_num, {"val_mean_dice": performance,
+                                        "val_mean_hd95": mean_hd95})
+                ckpt.save_latest(jax.device_get(state))
+                if performance > best_performance:
+                    best_performance = performance
+                    ckpt.save_best(jax.device_get(state))
+                    writer.append_csv(
+                        f"{snapshot_path}/val.csv",
+                        {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+                         "iteration": iter_num,
+                         "val_acc": round(best_performance, 4)})
+                logging.info("iteration %d : mean_dice %.4f mean_hd95 %.4f",
+                             iter_num, performance, mean_hd95)
+
+            if iter_num >= max_iterations:
+                break
+
+    writer.close()
+    return {"best_dice": best_performance, "steps": iter_num}
