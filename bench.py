@@ -22,6 +22,8 @@ A100_EAGER_BASELINE_PATCHES_PER_SEC = 70.0
 
 
 def main() -> None:
+    from chap_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     from chap_tpu.config import ModelConfig
     from chap_tpu.eval.sliding_window import SlidingWindowEngine, compute_grid
     from chap_tpu.models import net_factory_3d

@@ -43,7 +43,8 @@ def make_predictor(model, model_type: str = "logit_ensemble") -> Callable:
                 raise ValueError(model_type)
         else:
             prob = jax.nn.softmax(out, axis=-1)
-        return jnp.argmax(prob, axis=-1).astype(jnp.int32)
+        # int8: shrink the device->host transfer (tunnel downloads are slow)
+        return jnp.argmax(prob, axis=-1).astype(jnp.int8)
 
     return predict
 
@@ -64,11 +65,13 @@ def predict_volume(predict: Callable, variables, image: np.ndarray,
     if d_pad != d:
         slices = np.concatenate(
             [slices, np.zeros((d_pad - d,) + slices.shape[1:], np.float32)])
-    preds = []
+    # two-phase: dispatch all chunks async first, then pull results — the
+    # device computes ahead while earlier chunks stream back over the tunnel
+    futures = []
     for start in range(0, d_pad, slice_batch):
         chunk = jnp.asarray(slices[start:start + slice_batch][..., None])
-        preds.append(np.asarray(predict(variables, chunk)))
-    pred = np.concatenate(preds)[:d]
+        futures.append(predict(variables, chunk))
+    pred = np.concatenate([np.asarray(f) for f in futures])[:d]
     if (x, y) != tuple(patch_size):
         pred = np.stack([resize_slice(pred[i].astype(np.float32), (x, y), order=0)
                          for i in range(d)]).astype(np.int32)

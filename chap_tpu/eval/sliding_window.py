@@ -69,43 +69,67 @@ class SlidingWindowEngine:
 
         def run(variables, volume, starts, valid, num_classes: int):
             shape = volume.shape
-            score0 = jnp.zeros(shape + (num_classes,), jnp.float32)
+            ww, hh, dd = shape
+            # class-FIRST accumulator layout [C,W,H,D]: keeps the big spatial
+            # dims in the TPU's (sublane, lane) tiles. A class-last layout
+            # would put C (e.g. 2) in the 128-wide lane dim -> 64x padded
+            # memory and pathological scatter bandwidth.
+            score0 = jnp.zeros((num_classes,) + shape, jnp.float32)
             cnt0 = jnp.zeros(shape, jnp.float32)
             vol_c = volume.astype(compute_dtype)
+
+            def selection_matrices(s):
+                """One-hot selection matrices mapping patch coords -> volume
+                coords. Scatter/gather as matmuls ride the MXU instead of the
+                slow unaligned dynamic-slice path (offsets like 18/4 never hit
+                TPU's (8,128)-tile alignment fast path). Each output element
+                has exactly one nonzero contribution, so at HIGHEST precision
+                the result is bit-exact."""
+                sx = (jnp.arange(ww)[None, :] ==
+                      (s[0] + jnp.arange(patch[0]))[:, None]).astype(jnp.float32)
+                sy = (jnp.arange(hh)[None, :] ==
+                      (s[1] + jnp.arange(patch[1]))[:, None]).astype(jnp.float32)
+                sz = (jnp.arange(dd)[None, :] ==
+                      (s[2] + jnp.arange(patch[2]))[:, None]).astype(jnp.float32)
+                return sx, sy, sz
 
             def scan_body(carry, batch_in):
                 sc, ct = carry
                 b_starts, b_valid = batch_in
-
-                def gather(s):
-                    return jax.lax.dynamic_slice(vol_c, (s[0], s[1], s[2]), patch)
-
-                patches = jax.vmap(gather)(b_starts)          # [B,pw,ph,pd]
+                sx, sy, sz = jax.vmap(selection_matrices)(b_starts)
+                # explicit pairwise contraction order (one spatial dim at a
+                # time) — a single 4-operand einsum lets XLA pick a blow-up
+                # order like (Sx x Sy) first. Default (bf16) MXU precision:
+                # the one-hot selectors are exact in bf16 and each output has
+                # a single nonzero contribution, so only the data mantissa is
+                # rounded (<=0.4%) — immaterial ahead of the network forward
+                # and for the argmax vote.
+                g = jnp.einsum("XYZ,bxX->bxYZ", volume, sx)
+                g = jnp.einsum("bxYZ,byY->bxyZ", g, sy)
+                patches = jnp.einsum("bxyZ,bzZ->bxyz", g, sz).astype(compute_dtype)
                 out = model.apply(variables, patches[..., None], train=False)
                 if isinstance(out, (tuple, list)):
                     # dual-decoder logit ensemble (test_2D_fully.py:72)
                     out = (out[0] + out[1]) / 2.0
                 probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
                 probs = probs * b_valid[:, None, None, None, None]
+                probs = jnp.moveaxis(probs, -1, 1)            # [B,C,pw,ph,pd]
 
-                def body(i, carry2):
-                    sc2, ct2 = carry2
-                    s = b_starts[i]
-                    idx4 = (s[0], s[1], s[2], 0)
-                    region = jax.lax.dynamic_slice(sc2, idx4, patch + (sc2.shape[-1],))
-                    sc2 = jax.lax.dynamic_update_slice(sc2, region + probs[i], idx4)
-                    creg = jax.lax.dynamic_slice(ct2, (s[0], s[1], s[2]), patch)
-                    ct2 = jax.lax.dynamic_update_slice(
-                        ct2, creg + b_valid[i], (s[0], s[1], s[2]))
-                    return sc2, ct2
-
-                sc, ct = jax.lax.fori_loop(0, b_starts.shape[0], body, (sc, ct))
+                s_ = jnp.einsum("bcxyz,bzZ->bcxyZ", probs, sz)
+                s_ = jnp.einsum("bcxyZ,byY->bcxYZ", s_, sy)
+                sc = sc + jnp.einsum("bcxYZ,bxX->cXYZ", s_, sx)
+                mx = jnp.sum(sx, axis=1) * b_valid[:, None]   # [B,W]
+                my = jnp.sum(sy, axis=1)
+                mz = jnp.sum(sz, axis=1)
+                ct = ct + jnp.einsum("bX,bY,bZ->XYZ", mx, my, mz)
                 return (sc, ct), None
 
             (score, cnt), _ = jax.lax.scan(scan_body, (score0, cnt0),
                                            (starts, valid))
-            return jnp.argmax(score / jnp.maximum(cnt, 1e-8)[..., None],
-                              axis=-1).astype(jnp.int32)
+            # int8 result: the device->host path is the scarce resource
+            # (tunnel-attached TPUs move ~30 MB/s down), 4x smaller download
+            return jnp.argmax(score / jnp.maximum(cnt, 1e-8)[None],
+                              axis=0).astype(jnp.int8)
 
         self._run = jax.jit(run, static_argnums=(4,))
 
@@ -132,7 +156,7 @@ class SlidingWindowEngine:
 
         label_map = np.asarray(self._run(
             variables, jnp.asarray(image.astype(np.float32)),
-            jnp.asarray(starts), jnp.asarray(valid), num_classes))
+            jnp.asarray(starts), jnp.asarray(valid), num_classes)).astype(np.int32)
         if any(pads):
             label_map = label_map[pad_lo[0]:pad_lo[0] + w,
                                   pad_lo[1]:pad_lo[1] + h,

@@ -21,6 +21,8 @@ from chap_tpu.models.unet2d import (
 )
 from chap_tpu.models.unet3d import UNet3D
 from chap_tpu.models.vnet3d import DualDecoder3d, VNet
+from chap_tpu.models.attention3d import AttentionUNet3D
+from chap_tpu.models.voxresnet import VoxResNet
 
 
 def _dtype(cfg: ModelConfig):
@@ -44,6 +46,12 @@ def net_factory(net_type: str, in_chns: int, class_num: int,
         return UNetCCT(num_classes=class_num, **common)
     if net_type == "unet_urpc":
         return UNetURPC(num_classes=class_num, **common)
+    if net_type == "resunet":
+        from chap_tpu.models.resunet2d import ResUNet2d
+        return ResUNet2d(num_classes=class_num, dtype=dtype)
+    if net_type == "dual_student":
+        from chap_tpu.models.dsnet import DSNet
+        return DSNet(num_classes=class_num, dtype=dtype)
     raise ValueError(f"unknown 2D net_type {net_type!r}")
 
 
@@ -57,6 +65,10 @@ def net_factory_3d(net_type: str, in_chns: int, class_num: int,
     del in_chns
     if net_type == "unet_3D":
         return UNet3D(num_classes=class_num, dtype=dtype)
+    if net_type == "attention_unet":
+        return AttentionUNet3D(num_classes=class_num, dtype=dtype)
+    if net_type == "voxresnet":
+        return VoxResNet(num_classes=class_num, feature_chns=64, dtype=dtype)
     if net_type == "vnet":
         return VNet(num_classes=class_num, n_filters=cfg.n_filters_3d,
                     normalization=cfg.normalization_3d, has_dropout=has_dropout,

@@ -114,7 +114,7 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
                 writer.write(iter_num, {"val_mean_dice": performance,
                                         "val_mean_hd95": mean_hd95})
                 ckpt.save_latest(jax.device_get(state))
-                if performance > best_performance:
+                if performance > best_performance or not ckpt.has("best"):
                     best_performance = performance
                     ckpt.save_best(jax.device_get(state))
                     writer.append_csv(
