@@ -90,6 +90,31 @@ def test_single_volume(image: np.ndarray, label: np.ndarray, predict: Callable,
     return [metric_fn(prediction == c, label == c) for c in range(1, classes)]
 
 
+def make_ds_predictor(model) -> Callable:
+    """Predictor for deep-supervision models returning (main, *aux) logits —
+    the val_2D.test_single_volume_ds path (val_2D.py:100-122)."""
+
+    @jax.jit
+    def predict(variables, x):
+        outs = model.apply(variables, x, train=False)
+        main = outs[0] if isinstance(outs, (tuple, list)) else outs
+        return jnp.argmax(jax.nn.softmax(main, axis=-1), axis=-1).astype(jnp.int8)
+
+    return predict
+
+
+def test_single_volume_polyp(image: np.ndarray, label: np.ndarray,
+                             predict: Callable, variables) -> float:
+    """Whole-image binary eval returning Dice via the polyp F-measure recipe
+    (val_2D.py:158-184)."""
+    from chap_tpu.metrics.fmeasure import fmeasure_calu
+    x = jnp.asarray(np.asarray(image, np.float32)[None])
+    if x.ndim == 3:
+        x = x[..., None]
+    pred = np.asarray(predict(variables, x))[0]
+    return fmeasure_calu(pred, np.asarray(label))[3]
+
+
 def evaluate_volumes(dataset, predict: Callable, variables, classes: int,
                      patch_size: Sequence[int] = (256, 256),
                      full_metrics: bool = False) -> np.ndarray:

@@ -1,0 +1,62 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chap_tpu.models.enet import ENet
+from chap_tpu.models.pnet import PNet2D
+from chap_tpu.models.discriminator import FC3DDiscriminator, FCDiscriminator
+from chap_tpu.models.grl import gradient_reverse, warm_start_coeff
+
+
+def test_pnet_forward():
+    model = PNet2D(num_classes=4, num_filters=16)
+    x = jnp.zeros((1, 64, 64, 1))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (1, 64, 64, 4)
+
+
+def test_enet_forward_and_train():
+    model = ENet(num_classes=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    v = model.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (1, 64, 64, 4)
+    out2, _ = model.apply(v, x, train=True, mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+    assert out2.shape == (1, 64, 64, 4)
+
+
+def test_discriminators():
+    d3 = FC3DDiscriminator(num_classes=2)
+    seg = jnp.zeros((2, 32, 32, 16, 2))
+    img = jnp.zeros((2, 32, 32, 16, 1))
+    v = d3.init({"params": jax.random.PRNGKey(0)}, seg, img)
+    out = d3.apply(v, seg, img)
+    assert out.shape == (2, 2)
+
+    d2 = FCDiscriminator(num_classes=4)
+    x = jnp.zeros((2, 64, 64, 4))
+    v = d2.init({"params": jax.random.PRNGKey(0)}, x)
+    out = d2.apply(v, x)
+    assert out.shape == (2, 2, 2, 1)
+
+
+def test_gradient_reverse():
+    def f(x):
+        return jnp.sum(gradient_reverse(x, jnp.float32(0.5)) ** 2)
+
+    x = jnp.ones((3,))
+    g = jax.grad(f)(x)
+    np.testing.assert_allclose(np.asarray(g), -0.5 * 2 * np.ones(3), rtol=1e-6)
+    assert float(warm_start_coeff(0)) == 0.0
+    assert 0 < float(warm_start_coeff(500, max_iters=1000)) < 1.0
+
+
+def test_fmeasure():
+    from chap_tpu.metrics.fmeasure import fmeasure_calu
+    pred = np.zeros((8, 8)); pred[:4] = 1
+    gt = np.zeros((8, 8)); gt[:4] = 1
+    p, r, s, dice, f, iou = fmeasure_calu(pred, gt)
+    assert dice == 1.0 and f == 1.0 and iou == 1.0
+    assert fmeasure_calu(np.zeros((8, 8)), gt) == (0, 0, 0, 0, 0, 0)
