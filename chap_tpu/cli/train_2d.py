@@ -44,7 +44,8 @@ def parse_args():
     p.add_argument("--comp_drop", action="store_true", default=None)
     p.add_argument("--topk1", type=float, default=None)
     p.add_argument("--text", type=str, default="null")
-    p.add_argument("--mode", type=str, default="chap", choices=["chap", "supervised"])
+    p.add_argument("--mode", type=str, default="chap",
+                   choices=["chap", "supervised", "ablation"])
     p.add_argument("--resume", action="store_true")
     p.add_argument("overrides", nargs="*", help="key.path=value config overrides")
     return p.parse_args()

@@ -65,6 +65,9 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
 
     if mode == "chap":
         step_fn = build_chap_train_step(model, optimizer, cfg, use_nms=True)
+    elif mode == "ablation":
+        from chap_tpu.train.step_ablation import build_ablation_train_step
+        step_fn = build_ablation_train_step(model, optimizer, cfg)
     else:
         step_fn = build_supervised_train_step(model, optimizer, cfg, dual=True)
 
@@ -103,6 +106,11 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
                 scalars = {k: float(v) for k, v in metrics.items()}
                 scalars["steps_per_sec"] = iter_num / (time.time() - t_start)
                 writer.write(iter_num, scalars)
+                if "disagreement_ratio" in scalars:
+                    # per-iteration CSV like train_ablation_2D.py:183-190
+                    writer.append_csv(f"{snapshot_path}/disagreement.csv",
+                                      {"iteration": iter_num,
+                                       "ratio": scalars["disagreement_ratio"]})
                 logging.info("iteration %d : loss : %.4f", iter_num, scalars["loss"])
 
             if iter_num > 0 and iter_num % cfg.eval.eval_every == 0:

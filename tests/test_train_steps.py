@@ -95,3 +95,15 @@ def test_chap_step_loss_decreases_over_steps():
             first = float(metrics["bcp_loss"])
         last = float(metrics["bcp_loss"])
     assert last < first
+
+
+def test_ablation_step_full_branches():
+    from chap_tpu.train.step_ablation import build_ablation_train_step
+    cfg = small_cfg(adv_noise=True, dropout=True)
+    model, opt, state = build(cfg)
+    step = build_ablation_train_step(model, opt, cfg)
+    batch = make_batch(cfg)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["disagreement_ratio"]) <= 1.0
+    assert float(metrics["fp_loss"]) > 0.0
