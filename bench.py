@@ -29,13 +29,14 @@ def main() -> None:
     from chap_tpu.models import net_factory_3d
 
     cfg = ModelConfig()
+    cfg.dtype = "bfloat16"   # MXU-native compute; accumulation stays f32
     patch = (112, 112, 80)
     stride_xy, stride_z = 18, 4
     num_classes = 2
-    sw_batch = 8
+    sw_batch = 16
 
     model = net_factory_3d("vnet", 1, num_classes, mode="test", cfg=cfg)
-    sample = jnp.zeros((sw_batch, *patch, 1), jnp.float32)
+    sample = jnp.zeros((sw_batch, *patch, 1), jnp.bfloat16)
     variables = model.init({"params": jax.random.PRNGKey(0)}, sample, train=False)
 
     # LA-like synthetic volume
@@ -43,7 +44,8 @@ def main() -> None:
     volume = rng.rand(160, 160, 88).astype(np.float32)
     n_patches = compute_grid(volume.shape, patch, stride_xy, stride_z).shape[0]
 
-    engine = SlidingWindowEngine(model, patch, sw_batch=sw_batch)
+    engine = SlidingWindowEngine(model, patch, sw_batch=sw_batch,
+                                 compute_dtype=jnp.bfloat16)
     # warmup (compile)
     engine.predict(variables, volume, stride_xy, stride_z, num_classes)
 
