@@ -52,6 +52,18 @@ def net_factory(net_type: str, in_chns: int, class_num: int,
     if net_type == "dual_student":
         from chap_tpu.models.dsnet import DSNet
         return DSNet(num_classes=class_num, dtype=dtype)
+    if net_type == "swinunet":
+        from chap_tpu.models.swin_unet import SwinUNet
+        return SwinUNet(num_classes=class_num, img_size=224, dtype=dtype)
+    if net_type == "enet":
+        from chap_tpu.models.enet import ENet
+        return ENet(num_classes=class_num, dtype=dtype)
+    if net_type == "pnet":
+        from chap_tpu.models.pnet import PNet2D
+        return PNet2D(num_classes=class_num, dtype=dtype)
+    if net_type == "efficient_unet":
+        from chap_tpu.models.efficientunet import EffiUNet
+        return EffiUNet(num_classes=class_num, dtype=dtype)
     raise ValueError(f"unknown 2D net_type {net_type!r}")
 
 
@@ -77,4 +89,10 @@ def net_factory_3d(net_type: str, in_chns: int, class_num: int,
         return DualDecoder3d(num_classes=class_num, n_filters=cfg.n_filters_3d,
                              normalization=cfg.normalization_3d,
                              has_dropout=has_dropout, dtype=dtype)
+    if net_type == "resvnet":
+        from chap_tpu.models.resvnet import ResVNet
+        return ResVNet(num_classes=class_num, has_dropout=has_dropout, dtype=dtype)
+    if net_type == "unet_3D_dv_semi":
+        from chap_tpu.models.unet3d_dv import UNet3DDvSemi
+        return UNet3DDvSemi(num_classes=class_num, dtype=dtype)
     raise ValueError(f"unknown 3D net_type {net_type!r}")

@@ -20,7 +20,8 @@ def _norm(normalization: str, train: bool, dtype):
     if normalization == "groupnorm":
         return nn.GroupNorm(num_groups=16, dtype=dtype)
     if normalization == "instancenorm":
-        return nn.GroupNorm(group_size=1, use_bias=False, use_scale=False, dtype=dtype)
+        return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                            use_scale=False, dtype=dtype)
     if normalization == "none":
         return None
     raise ValueError(f"unknown normalization {normalization!r}")
