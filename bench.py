@@ -49,10 +49,13 @@ def main() -> None:
     # warmup (compile)
     engine.predict(variables, volume, stride_xy, stride_z, num_classes)
 
-    repeats = 3
+    repeats = 4
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        engine.predict(variables, volume, stride_xy, stride_z, num_classes)
+    # pipelined: dispatch-ahead so downloads overlap the next volume's compute
+    handles = [engine.predict_async(variables, volume, stride_xy, stride_z,
+                                    num_classes) for _ in range(repeats)]
+    for h in handles:
+        engine.finalize(h, num_classes)
     dt = time.perf_counter() - t0
 
     patches_per_sec = n_patches * repeats / dt

@@ -133,9 +133,12 @@ class SlidingWindowEngine:
 
         self._run = jax.jit(run, static_argnums=(4,))
 
-    def predict(self, variables, image: np.ndarray, stride_xy: int,
-                stride_z: int, num_classes: int, nms: bool = False) -> np.ndarray:
-        """Sliding-window inference of one volume [W,H,D] -> label map."""
+    def predict_async(self, variables, image: np.ndarray, stride_xy: int,
+                      stride_z: int, num_classes: int):
+        """Dispatch one volume's inference; returns an opaque handle. JAX
+        dispatch is async, so successive volumes pipeline: the device starts
+        the next case while the previous label map streams back over the
+        (slow) host link. Call :meth:`finalize` on the handle."""
         w, h, d = image.shape
         pads = [max(self.patch[i] - image.shape[i], 0) for i in range(3)]
         pad_lo = [p // 2 for p in pads]
@@ -154,16 +157,27 @@ class SlidingWindowEngine:
         starts = starts.reshape(-1, self.sw_batch, 3)
         valid = valid.reshape(-1, self.sw_batch)
 
-        label_map = np.asarray(self._run(
-            variables, jnp.asarray(image.astype(np.float32)),
-            jnp.asarray(starts), jnp.asarray(valid), num_classes)).astype(np.int32)
-        if any(pads):
+        device_map = self._run(variables, jnp.asarray(image.astype(np.float32)),
+                               jnp.asarray(starts), jnp.asarray(valid), num_classes)
+        return device_map, (w, h, d), pad_lo, any(pads)
+
+    def finalize(self, handle, num_classes: int, nms: bool = False) -> np.ndarray:
+        device_map, (w, h, d), pad_lo, padded = handle
+        label_map = np.asarray(device_map).astype(np.int32)
+        if padded:
             label_map = label_map[pad_lo[0]:pad_lo[0] + w,
                                   pad_lo[1]:pad_lo[1] + h,
                                   pad_lo[2]:pad_lo[2] + d]
         if nms:
             label_map = _largest_cc_host(label_map[None], num_classes)[0]
         return label_map
+
+    def predict(self, variables, image: np.ndarray, stride_xy: int,
+                stride_z: int, num_classes: int, nms: bool = False) -> np.ndarray:
+        """Sliding-window inference of one volume [W,H,D] -> label map."""
+        handle = self.predict_async(variables, image, stride_xy, stride_z,
+                                    num_classes)
+        return self.finalize(handle, num_classes, nms)
 
 
 def test_single_case(model, variables, image: np.ndarray, stride_xy: int,
@@ -186,14 +200,28 @@ def test_all_case(model, variables, dataset, num_classes: int,
     metric_fn = cal_metric_3d_full if full_metrics else cal_metric_3d
     width = 4 if full_metrics else 2
     total = np.zeros((num_classes - 1, width))
-    for i in range(len(dataset)):
-        sample = dataset[i]
-        prediction = engine.predict(variables, np.asarray(sample["image"]),
-                                    stride_xy, stride_z, num_classes, nms)
+
+    # two-deep pipeline: dispatch case i+1 before collecting case i, so device
+    # compute overlaps the label-map download and host metric computation
+    pending = []
+    def collect(entry):
+        nonlocal total
+        i, sample, handle = entry
+        prediction = engine.finalize(handle, num_classes, nms)
         label = np.asarray(sample["label"])
         case_metrics = np.stack([metric_fn(label == c, prediction == c)
                                  for c in range(1, num_classes)])
         total += case_metrics
         if per_case is not None:
             per_case.append((sample.get("case", str(i)), case_metrics))
+
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        handle = engine.predict_async(variables, np.asarray(sample["image"]),
+                                      stride_xy, stride_z, num_classes)
+        pending.append((i, sample, handle))
+        if len(pending) >= 2:
+            collect(pending.pop(0))
+    while pending:
+        collect(pending.pop(0))
     return total / len(dataset)
