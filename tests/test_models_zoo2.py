@@ -111,3 +111,38 @@ def test_efficient_unet_forward():
     v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     out = model.apply(v, x, train=False)
     assert out.shape == (1, 64, 64, 4)
+
+
+def test_mask_transformer_decoder():
+    from chap_tpu.models.transformer_decoder import MaskTransformerDecoder
+    dec = MaskTransformerDecoder(num_queries=4, hidden_dim=32, num_layers=4,
+                                 num_heads=4)
+    feats = [jnp.zeros((2, 8, 8, 16)), jnp.zeros((2, 16, 16, 8))]
+    v = dec.init({"params": jax.random.PRNGKey(0)}, feats, train=False)
+    segs, attns = dec.apply(v, feats, train=False)
+    assert len(segs) == 4
+    assert segs[0].shape == (2, 4, 8, 8)     # level 0
+    assert segs[1].shape == (2, 4, 16, 16)   # level 1
+    assert attns[0].shape == (2, 4, 8, 8)
+
+
+def test_aux_blocks():
+    from chap_tpu.models.blocks import SqEx, SEBlock3d, SCSEModule, Conv2dReLU
+    x2 = jnp.ones((1, 8, 8, 32))
+    x3 = jnp.ones((1, 4, 4, 4, 32))
+    for mod, x in [(SqEx(), x3), (SEBlock3d(), x3), (SCSEModule(), x2)]:
+        v = mod.init(jax.random.PRNGKey(0), x)
+        assert mod.apply(v, x).shape == x.shape
+    m = Conv2dReLU(16)
+    v = m.init(jax.random.PRNGKey(0), x2, train=False)
+    out = m.apply(v, x2, train=False)
+    assert out.shape == (1, 8, 8, 16)
+
+
+def test_timing_harness():
+    from chap_tpu.utils.timing import benchmark_fwd_bwd, param_count
+    from chap_tpu.models.unet2d import UNet
+    model = UNet(num_classes=2, feature_chns=(2, 4, 8, 8, 16))
+    stats = benchmark_fwd_bwd(model, jnp.zeros((1, 32, 32, 1)), num_iters=2)
+    assert stats["fwd_ms"] > 0 and stats["fwd_bwd_ms"] > 0
+    assert stats["params"] > 0
