@@ -49,6 +49,10 @@ class OptimConfig:
     weight_decay: float = 1e-4            # train_ours_2D.py:278
     poly_power: float = 0.9               # train_ours_2D.py:387
     max_iterations: int = 30000           # train_ours_2D.py:478
+    remat: bool = True                    # rematerialize each model pass in the
+                                          # multi-pass CHAP step (trades ~1x
+                                          # extra fwd FLOPs for O(passes) less
+                                          # activation memory)
 
 
 @dataclass

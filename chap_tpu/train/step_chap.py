@@ -55,19 +55,26 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True):
     semi = cfg.semi
 
     def apply_model(params, batch_stats, x, rng=None, train=True, mutable=True,
-                    **kwargs):
-        variables = {"params": params, "batch_stats": batch_stats}
-        rngs = {}
-        if rng is not None:
-            r_drop, r_pert = jax.random.split(rng)
-            rngs = {"dropout": r_drop, "perturb": r_pert}
-        if mutable:
-            (o1, o2), updates = model.apply(variables, x, train=train,
-                                            mutable=["batch_stats"], rngs=rngs,
-                                            **kwargs)
-            return o1, o2, updates["batch_stats"]
-        out = model.apply(variables, x, train=train, rngs=rngs, **kwargs)
-        return out
+                    remat=False, **kwargs):
+        def inner(params, batch_stats, x, rng):
+            variables = {"params": params, "batch_stats": batch_stats}
+            rngs = {}
+            if rng is not None:
+                r_drop, r_pert = jax.random.split(rng)
+                rngs = {"dropout": r_drop, "perturb": r_pert}
+            if mutable:
+                (o1, o2), updates = model.apply(variables, x, train=train,
+                                                mutable=["batch_stats"],
+                                                rngs=rngs, **kwargs)
+                return o1, o2, updates["batch_stats"]
+            return model.apply(variables, x, train=train, rngs=rngs, **kwargs)
+
+        if remat:
+            # the CHAP step runs 4+ forward passes before one backward;
+            # checkpointing each pass keeps only ONE pass's activations live
+            # during the backward instead of all of them
+            inner = jax.checkpoint(inner)
+        return inner(params, batch_stats, x, rng)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
              ) -> StepOutput:
@@ -117,9 +124,11 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True):
             state.step // 150, semi.consistency_rampup)
 
         # ---- differentiated losses ----------------------------------------
+        remat = cfg.optim.remat
+
         def losses_fn(params):
             out_mix1, out_mix2, bs2 = apply_model(params, bs1, net_input_mix,
-                                                  rng=r_student)
+                                                  rng=r_student, remat=remat)
             out_l1, out_unl1 = out_mix1[:sub_bs], out_mix1[sub_bs:]
             out_l2, out_unl2 = out_mix2[:sub_bs], out_mix2[sub_bs:]
 
@@ -139,7 +148,7 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True):
             if semi.dropout:
                 # channel-dropout consistency on the unlabeled batch
                 fp1, fp2, bs3 = apply_model(
-                    params, bs2, uimg_ab, rng=r_fp,
+                    params, bs2, uimg_ab, rng=r_fp, remat=remat,
                     dropout_level=(0, 1, 2, 3, 4),
                     scores=list(state.sim_scores),
                     comp_dropout=semi.comp_drop)
@@ -156,7 +165,8 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True):
                 def vat_apply(x):
                     # train-mode BN like the reference's perturbed passes;
                     # running-stat updates from VAT passes are discarded
-                    o1, o2, _ = apply_model(params, bs_final, x, rng=r_vat)
+                    o1, o2, _ = apply_model(params, bs_final, x, rng=r_vat,
+                                            remat=remat)
                     return o1, o2
 
                 vat = vat_loss_2d(
