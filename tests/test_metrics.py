@@ -67,3 +67,16 @@ def test_hard_dice_device():
     d = hard_dice(pred, gt, 3)
     # class1: pred {01,11}, gt {01}: inter 1 -> 2*1/(2+1)=2/3 ; class2: inter 1 -> 2/(1+2)
     np.testing.assert_allclose(np.asarray(d), [2 / 3, 2 / 3], rtol=1e-5)
+
+
+def test_acc_conf_analysis(tmp_path):
+    from chap_tpu.eval.analysis import acc_conf_analysis
+    rng = np.random.RandomState(0)
+    probs = rng.dirichlet(np.ones(4), size=(8, 16, 16)).astype(np.float32)
+    labels = rng.randint(0, 4, (8, 16, 16))
+    f = str(tmp_path / "conf.npy")
+    out = acc_conf_analysis(probs, labels, labeled_bs=4, filename=f)
+    assert set(out) == {"lab_dice", "lab_corr_conf", "lab_err_conf",
+                        "unlab_dice", "unlab_corr_conf", "unlab_err_conf"}
+    acc_conf_analysis(probs, labels, labeled_bs=4, filename=f)
+    assert np.load(f).shape == (2, 6)
