@@ -1,0 +1,73 @@
+"""3D semi-supervised training CLI (LA / Pancreas_CT / BraTS2019 protocols).
+
+Usage:
+    python -m chap_tpu.cli.train_3d --dataset LA --root_path data/LA \
+        --labeled_num 8 [key.path=value ...]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import pprint
+
+from chap_tpu.config import config_to_dict, load_config
+from chap_tpu.utils.launch import dump_config, init_save_folder, setup_logging, write_doc
+
+PROTOCOLS = {
+    "LA": dict(patch=(112, 112, 80), stride_xy=18, stride_z=4),
+    "Pancreas_CT": dict(patch=(96, 96, 96), stride_xy=16, stride_z=16),
+    "BraTS2019": dict(patch=(96, 96, 96), stride_xy=64, stride_z=64),
+    "synthetic": dict(patch=(64, 64, 48), stride_xy=32, stride_z=24),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", type=str, default=None)
+    p.add_argument("--dataset", type=str, default="LA", choices=list(PROTOCOLS))
+    p.add_argument("--root_path", type=str, default=None)
+    p.add_argument("--exp", type=str, default="cps3d")
+    p.add_argument("--max_iterations", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--labeled_bs", type=int, default=2)
+    p.add_argument("--labeled_num", type=int, default=8)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--text", type=str, default="null")
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args()
+
+    cfg = load_config(args.cfg, args.overrides)
+    proto = PROTOCOLS[args.dataset]
+    cfg.data.dataset = args.dataset
+    cfg.data.patch_size_3d = proto["patch"]
+    cfg.eval.stride_xy = proto["stride_xy"]
+    cfg.eval.stride_z = proto["stride_z"]
+    cfg.data.num_classes = args.num_classes
+    cfg.data.batch_size = args.batch_size
+    cfg.data.labeled_bs = args.labeled_bs
+    if args.root_path:
+        cfg.data.root_path = args.root_path
+    if args.max_iterations:
+        cfg.optim.max_iterations = args.max_iterations
+    if args.seed is not None:
+        cfg.run.seed = args.seed
+    cfg.run.exp = args.exp
+
+    snapshot_path = os.path.join(cfg.run.snapshot_root, args.dataset,
+                                 f"{args.exp}_{args.labeled_num}_labeled")
+    os.makedirs(snapshot_path, exist_ok=True)
+    save_dir = init_save_folder(snapshot_path, "dualdecoder3d")
+    write_doc(save_dir, args.text)
+    dump_config(save_dir, config_to_dict(cfg))
+    setup_logging(save_dir)
+    logging.info("%s", pprint.pformat(config_to_dict(cfg)))
+
+    from chap_tpu.train.trainer_3d import train
+    result = train(cfg, save_dir, labeled_cases=args.labeled_num)
+    logging.info("done: %s", result)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""3D semi-supervised training (BASELINE.json configs #4/#5: LA / Pancreas /
+BraTS). The reference snapshot ships only 3D models + test CLIs (SURVEY.md
+§0); this trainer completes the path: DualDecoder3d cross-pseudo-supervision
+over two-stream 3D patch batches (the UA-MT/MC-Net family recipe its models
+exist for), evaluated with the batched sliding-window engine.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chap_tpu.config import Config
+from chap_tpu.data.datasets import SyntheticVolumeDataset, Volume3dDataset
+from chap_tpu.data.pipeline import BatchLoader
+from chap_tpu.data.sampler import TwoStreamBatchSampler
+from chap_tpu.data.transforms3d import RandomGenerator3D
+from chap_tpu.eval.sliding_window import test_all_case
+from chap_tpu.losses.ce import cross_entropy, cross_entropy_per_pixel
+from chap_tpu.losses.dice import dice_loss
+from chap_tpu.models import net_factory_3d
+from chap_tpu.train.state import TrainState, create_train_state, make_optimizer
+from chap_tpu.train.step_chap import StepOutput
+from chap_tpu.utils.checkpoint import CheckpointManager
+from chap_tpu.utils.metrics_writer import MetricsWriter
+from chap_tpu.utils.ramps import sigmoid_rampup
+
+
+class _PatchDataset:
+    """Wrap a volume dataset as an infinite patch dataset."""
+
+    def __init__(self, volumes, transform, length: int):
+        self.volumes = volumes
+        self.transform = transform
+        self.length = length
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx):
+        return self.transform(self.volumes[idx % len(self.volumes)])
+
+
+def build_cps3d_train_step(model, optimizer, cfg: Config):
+    """Cross-pseudo-supervision step for a dual-decoder 3D model."""
+    num_classes = cfg.data.num_classes
+    lbs = cfg.data.labeled_bs
+    semi = cfg.semi
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+             ) -> StepOutput:
+        image, label = batch["image"], batch["label"]
+
+        def loss_fn(params):
+            (o1, o2), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                image, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            s1 = jax.nn.softmax(o1, axis=-1)
+            s2 = jax.nn.softmax(o2, axis=-1)
+            sup1 = 0.5 * (cross_entropy(o1[:lbs], label[:lbs])
+                          + dice_loss(s1[:lbs], label[:lbs], num_classes))
+            sup2 = 0.5 * (cross_entropy(o2[:lbs], label[:lbs])
+                          + dice_loss(s2[:lbs], label[:lbs], num_classes))
+            pseudo1 = jnp.argmax(jax.lax.stop_gradient(s1[lbs:]), axis=-1)
+            pseudo2 = jnp.argmax(jax.lax.stop_gradient(s2[lbs:]), axis=-1)
+            ps1 = jnp.mean(cross_entropy_per_pixel(o1[lbs:], pseudo2))
+            ps2 = jnp.mean(cross_entropy_per_pixel(o2[lbs:], pseudo1))
+            w = semi.consistency * sigmoid_rampup(state.step // 150,
+                                                  semi.consistency_rampup)
+            total = sup1 + sup2 + w * (ps1 + ps2)
+            return total, (updates["batch_stats"], sup1 + sup2, ps1 + ps2)
+
+        (loss, (bstats, sup, cons)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=bstats, opt_state=opt_state)
+        return StepOutput(new_state, {"loss": loss, "sup_loss": sup,
+                                      "cons_loss": cons})
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
+          labeled_cases: int = 8) -> dict:
+    patch = tuple(cfg.data.patch_size_3d)
+    rng = jax.random.PRNGKey(cfg.run.seed)
+
+    model = net_factory_3d("dualdecoder", cfg.data.in_chns, cfg.data.num_classes,
+                           mode="train", cfg=cfg.model)
+    optimizer = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations)
+    sample = jnp.zeros((cfg.data.batch_size, *patch, 1))
+    rng, init_rng = jax.random.split(rng)
+    state = create_train_state(model, init_rng, sample, optimizer)
+
+    step_fn = build_cps3d_train_step(model, optimizer, cfg)
+
+    if cfg.data.dataset == "synthetic":
+        volumes = [
+            {"image": np.transpose(v["image"], (2, 1, 0)),
+             "label": np.transpose(v["label"], (2, 1, 0))}
+            for v in (SyntheticVolumeDataset(
+                (patch[2] + 8, patch[0] + 16, patch[1] + 16),
+                cfg.data.num_classes, length=12)[i] for i in range(12))]
+        val_ds = None
+    else:
+        train_ds = Volume3dDataset(cfg.data.root_path, "train.list")
+        volumes = [train_ds[i] for i in range(len(train_ds))]
+        val_ds = Volume3dDataset(cfg.data.root_path, "test.list")
+
+    transform = RandomGenerator3D(patch, seed=cfg.run.seed)
+    epoch_len = max(len(volumes) * 4, cfg.data.batch_size * 4)
+    dataset = _PatchDataset(volumes, transform, epoch_len)
+
+    writer = MetricsWriter(snapshot_path)
+    ckpt = CheckpointManager(snapshot_path)
+    max_iterations = max_steps or cfg.optim.max_iterations
+    best = 0.0
+    iter_num = 0
+    labeled_idx = list(range(min(labeled_cases * 4, epoch_len // 2)))
+    unlabeled_idx = list(range(len(labeled_idx), epoch_len))
+
+    while iter_num < max_iterations:
+        sampler = TwoStreamBatchSampler(labeled_idx, unlabeled_idx,
+                                        cfg.data.batch_size,
+                                        cfg.data.batch_size - cfg.data.labeled_bs,
+                                        seed=cfg.run.seed + iter_num)
+        loader = BatchLoader(dataset, sampler, cfg.data.num_workers)
+        for batch in loader:
+            batch = {"image": jnp.asarray(batch["image"]),
+                     "label": jnp.asarray(batch["label"])}
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng)
+            iter_num += 1
+            if iter_num % cfg.run.log_every == 0:
+                writer.write(iter_num, {k: float(v) for k, v in metrics.items()})
+                logging.info("iter %d loss %.4f", iter_num, float(metrics["loss"]))
+            if val_ds is not None and iter_num % cfg.eval.eval_every == 0:
+                variables = {"params": state.params, "batch_stats": state.batch_stats}
+                m = test_all_case(model, variables, val_ds, cfg.data.num_classes,
+                                  patch, cfg.eval.stride_xy, cfg.eval.stride_z,
+                                  sw_batch=cfg.eval.sw_batch, nms=cfg.eval.nms)
+                dice = float(m[:, 0].mean())
+                writer.write(iter_num, {"val_mean_dice": dice})
+                ckpt.save_latest(jax.device_get(state))
+                if dice > best or not ckpt.has("best"):
+                    best = dice
+                    ckpt.save_best(jax.device_get(state))
+            if iter_num >= max_iterations:
+                break
+    if val_ds is None:
+        ckpt.save_latest(jax.device_get(state))
+    writer.close()
+    return {"best_dice": best, "steps": iter_num}

@@ -59,3 +59,20 @@ def test_share_trainer_e2e(tmp_path):
     cfg.semi.adv_losstype = "mse"
     result = train(cfg, str(tmp_path))
     assert result["steps"] == 24
+
+
+def test_trainer_3d_e2e(tmp_path):
+    from chap_tpu.train.trainer_3d import train
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.num_classes = 4
+    cfg.data.batch_size = 4
+    cfg.data.labeled_bs = 2
+    cfg.data.patch_size_3d = (32, 32, 16)
+    cfg.data.num_workers = 2
+    cfg.model.n_filters_3d = 4
+    cfg.optim.max_iterations = 4
+    cfg.run.log_every = 2
+    result = train(cfg, str(tmp_path))
+    assert result["steps"] == 4
+    assert os.path.isdir(tmp_path / "checkpoints" / "latest")
