@@ -96,11 +96,17 @@ def largest_cc_mask(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def largest_cc_batch(segmentation: jnp.ndarray, num_classes: int) -> jnp.ndarray:
-    """Jit-safe per-class largest-CC cleanup of [B,H,W] integer label maps."""
+    """Jit-safe per-class largest-CC cleanup of [B,H,W] integer label maps.
+
+    All foreground classes are stacked into one [(C-1)*B, H, W] mask batch so
+    a SINGLE label-propagation while_loop covers every (class, sample) pair.
+    """
+    b = segmentation.shape[0]
+    masks = jnp.concatenate([segmentation == c for c in range(1, num_classes)])
+    keep = largest_cc_mask(masks)
     out = jnp.zeros_like(segmentation)
-    for c in range(1, num_classes):
-        keep = largest_cc_mask(segmentation == c)
-        out = jnp.where(keep, c, out)
+    for ci, c in enumerate(range(1, num_classes)):
+        out = jnp.where(keep[ci * b:(ci + 1) * b], c, out)
     return out
 
 

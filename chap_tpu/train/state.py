@@ -62,3 +62,11 @@ def create_train_state(model, rng: jax.Array, sample_input: jnp.ndarray,
 
 def param_count(params) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def update_ema(ema_params, params, decay: float, step) -> Any:
+    """Mean-teacher EMA with true-average warmup
+    (train_ours_2D.py:50-54 update_ema_variables):
+    alpha = min(1 - 1/(step+1), decay)."""
+    alpha = jnp.minimum(1.0 - 1.0 / (step + 1.0), decay)
+    return jax.tree.map(lambda e, p: alpha * e + (1 - alpha) * p, ema_params, params)
