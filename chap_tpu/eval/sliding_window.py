@@ -6,12 +6,17 @@ Rebuild of the reference's throughput-critical path (val_3D.test_single_case
 softmax accumulation, count normalization, argmax, unpad — but engineered for
 TPU instead of one synchronous batch-1 device roundtrip per patch:
 
-  * the volume is uploaded ONCE; score/count maps live on device;
-  * patches are gathered on device (vmap'd dynamic_slice) and forwarded in
-    fixed-size batches (static shapes -> one compile per volume bucket);
-  * softmax patches scatter-add back on device via a fori_loop of
-    dynamic_update_slice read-modify-writes;
-  * only the final argmax label map is pulled to host.
+  * the volume is uploaded ONCE; the whole patch grid runs in ONE dispatch
+    (lax.scan over patch batches) with score/count maps as carry;
+  * patch gather AND overlapping scatter-add ride the MXU as one-hot
+    selection matmuls — arbitrary strides (18/4) never hit the TPU's
+    (8,128)-tile alignment fast path as dynamic slices, but a selection
+    matmul is layout-agnostic;
+  * the score accumulator is class-FIRST [C,W,H,D] (a class-last layout puts
+    tiny C in the 128-wide lane dim: 64x padded memory);
+  * optional bfloat16 compute, f32 accumulation; int8 label-map download;
+  * async dispatch-ahead across cases overlaps device compute with the
+    (slow) device->host link and host-side metrics.
 
 Optional largest-connected-component post-processing matches the test_LA
 --nms flag (test_LA.py:15,50-58).

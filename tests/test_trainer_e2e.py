@@ -76,3 +76,18 @@ def test_trainer_3d_e2e(tmp_path):
     result = train(cfg, str(tmp_path))
     assert result["steps"] == 4
     assert os.path.isdir(tmp_path / "checkpoints" / "latest")
+
+
+@pytest.mark.skipif(not os.environ.get("CHAP_SLOW_TESTS"),
+                    reason="slow convergence regression; set CHAP_SLOW_TESTS=1")
+def test_supervised_converges_on_phantoms(tmp_path):
+    """Deterministic-seed metric regression (SURVEY.md §4): 400 supervised
+    steps on synthetic phantoms must reach val dice > 0.85."""
+    from chap_tpu.train.trainer_2d import train
+    cfg = tiny_cfg(tmp_path)
+    cfg.data.synthetic_train_size = 200
+    cfg.model.feature_chns = (8, 16, 32, 64, 64)
+    cfg.optim.max_iterations = 400
+    cfg.eval.eval_every = 100
+    result = train(cfg, str(tmp_path), mode="supervised")
+    assert result["best_dice"] > 0.85
