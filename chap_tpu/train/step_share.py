@@ -28,7 +28,7 @@ from chap_tpu.losses.ce import (
     mse_loss,
     mse_loss_noreduction,
 )
-from chap_tpu.losses.dice import dice_loss, soft_dice_loss_masked
+from chap_tpu.losses.dice import dice_ce_supervised, soft_dice_loss_masked
 from chap_tpu.utils.ramps import sigmoid_rampup
 
 
@@ -109,10 +109,8 @@ def build_share_joint_step(model, opt_g, opt_f, cfg: Config):
                 rngs={"dropout": r_drop})
             s1 = jax.nn.softmax(o1, axis=-1)
             s2 = jax.nn.softmax(o2, axis=-1)
-            loss1 = 0.5 * (cross_entropy(o1[:lbs], label[:lbs])
-                           + dice_loss(s1[:lbs], label[:lbs], num_classes))
-            loss2 = 0.5 * (cross_entropy(o2[:lbs], label[:lbs])
-                           + dice_loss(s2[:lbs], label[:lbs], num_classes))
+            loss1 = dice_ce_supervised(o1[:lbs], label[:lbs], num_classes)
+            loss2 = dice_ce_supervised(o2[:lbs], label[:lbs], num_classes)
             if semi.consistency_type == "ce":
                 pseudo1 = jnp.argmax(jax.lax.stop_gradient(s1[lbs:]), axis=-1)
                 pseudo2 = jnp.argmax(jax.lax.stop_gradient(s2[lbs:]), axis=-1)
@@ -182,10 +180,8 @@ def build_acal_steps(model, opt_g, opt_f, cfg: Config):
                 rngs={"dropout": rng}, stop_encoder_grad=True)
             s1 = jax.nn.softmax(o1, axis=-1)
             s2 = jax.nn.softmax(o2, axis=-1)
-            lab1 = 0.5 * (cross_entropy(o1[:lbs], label[:lbs])
-                          + dice_loss(s1[:lbs], label[:lbs], num_classes))
-            lab2 = 0.5 * (cross_entropy(o2[:lbs], label[:lbs])
-                          + dice_loss(s2[:lbs], label[:lbs], num_classes))
+            lab1 = dice_ce_supervised(o1[:lbs], label[:lbs], num_classes)
+            lab2 = dice_ce_supervised(o2[:lbs], label[:lbs], num_classes)
             dis = _discrepancy(s1[lbs:], s2[lbs:], mask, semi.adv_losstype)
             return (lab1 + lab2) - dis, (updates["batch_stats"], dis)
 

@@ -13,8 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from chap_tpu.config import Config
-from chap_tpu.losses.ce import cross_entropy
-from chap_tpu.losses.dice import dice_loss
+from chap_tpu.losses.dice import dice_ce_supervised
 from chap_tpu.train.state import TrainState
 from chap_tpu.train.step_chap import StepOutput
 
@@ -35,14 +34,10 @@ def build_supervised_train_step(model, optimizer, cfg: Config,
                 rngs={"dropout": r_drop, "perturb": r_pert})
             if dual:
                 o1, o2 = out
-                p1 = jax.nn.softmax(o1, axis=-1)
-                p2 = jax.nn.softmax(o2, axis=-1)
-                loss1 = 0.5 * (cross_entropy(o1, label) + dice_loss(p1, label, num_classes))
-                loss2 = 0.5 * (cross_entropy(o2, label) + dice_loss(p2, label, num_classes))
-                loss = loss1 + loss2
+                loss = (dice_ce_supervised(o1, label, num_classes)
+                        + dice_ce_supervised(o2, label, num_classes))
             else:
-                p = jax.nn.softmax(out, axis=-1)
-                loss = 0.5 * (cross_entropy(out, label) + dice_loss(p, label, num_classes))
+                loss = dice_ce_supervised(out, label, num_classes)
             return loss, updates["batch_stats"]
 
         (loss, batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

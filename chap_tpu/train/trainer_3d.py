@@ -21,7 +21,7 @@ from chap_tpu.data.sampler import TwoStreamBatchSampler
 from chap_tpu.data.transforms3d import RandomGenerator3D
 from chap_tpu.eval.sliding_window import test_all_case
 from chap_tpu.losses.ce import cross_entropy, cross_entropy_per_pixel
-from chap_tpu.losses.dice import dice_loss
+from chap_tpu.losses.dice import dice_ce_supervised
 from chap_tpu.models import net_factory_3d
 from chap_tpu.train.state import TrainState, create_train_state, make_optimizer
 from chap_tpu.train.step_chap import StepOutput
@@ -62,10 +62,8 @@ def build_cps3d_train_step(model, optimizer, cfg: Config):
                 rngs={"dropout": rng})
             s1 = jax.nn.softmax(o1, axis=-1)
             s2 = jax.nn.softmax(o2, axis=-1)
-            sup1 = 0.5 * (cross_entropy(o1[:lbs], label[:lbs])
-                          + dice_loss(s1[:lbs], label[:lbs], num_classes))
-            sup2 = 0.5 * (cross_entropy(o2[:lbs], label[:lbs])
-                          + dice_loss(s2[:lbs], label[:lbs], num_classes))
+            sup1 = dice_ce_supervised(o1[:lbs], label[:lbs], num_classes)
+            sup2 = dice_ce_supervised(o2[:lbs], label[:lbs], num_classes)
             pseudo1 = jnp.argmax(jax.lax.stop_gradient(s1[lbs:]), axis=-1)
             pseudo2 = jnp.argmax(jax.lax.stop_gradient(s2[lbs:]), axis=-1)
             ps1 = jnp.mean(cross_entropy_per_pixel(o1[lbs:], pseudo2))
