@@ -79,6 +79,10 @@ class SemiConfig:
     worst_losstype: str = "ce"
     mb_capacity: int = 256                # Image_MemoryBank capacity (:199)
     mb_patch_size: int = 64               # (:523)
+    mb_feed_every: int = 1                # feed the bank every N steps (the
+                                          # reference feeds every step; raise on
+                                          # tunnel-attached TPUs where the
+                                          # per-step knowledge download is slow)
     trade_off_worst: float = 0.3
 
 

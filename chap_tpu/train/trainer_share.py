@@ -70,8 +70,10 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None) -> d
             state, metrics, knowledge = joint_step(state, batch, r1)
             iter_num += 1
 
-            # feed the hard-sample bank (train_share_encoder_2D.py:344)
-            mb.add(np.asarray(batch["image"][lbs:]), np.asarray(knowledge), 8)
+            # feed the hard-sample bank (train_share_encoder_2D.py:344);
+            # each feed pulls the knowledge map to host — throttle via config
+            if iter_num % cfg.semi.mb_feed_every == 0:
+                mb.add(np.asarray(batch["image"][lbs:]), np.asarray(knowledge), 8)
 
             if cfg.semi.acal and iter_num > cfg.semi.acal_start_iter and len(mb):
                 replay = mb.get_samples(cfg.data.batch_size - lbs)
