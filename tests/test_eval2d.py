@@ -1,0 +1,50 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chap_tpu.config import ModelConfig
+from chap_tpu.data.datasets import SyntheticVolumeDataset
+from chap_tpu.eval.eval2d import evaluate_volumes, make_predictor, predict_volume
+from chap_tpu.eval.eval2d import test_single_volume as eval_single_volume
+from chap_tpu.models import net_factory
+
+
+def make_model():
+    cfg = ModelConfig(feature_chns=(4, 8, 16, 16, 32))
+    model = net_factory("dualdecoder", 1, 4, cfg)
+    x = jnp.zeros((1, 64, 64, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    return model, variables
+
+
+def test_predict_volume_shapes_and_zoom():
+    model, variables = make_model()
+    predictor = make_predictor(model, "logit_ensemble")
+    image = np.random.rand(5, 100, 90).astype(np.float32)  # non-square, odd depth
+    pred = predict_volume(predictor, variables, image, patch_size=(64, 64),
+                          slice_batch=4)
+    assert pred.shape == (5, 100, 90)
+    assert pred.dtype == np.int32
+    assert pred.max() < 4
+
+
+def test_all_ensemble_modes_agree_on_shapes():
+    model, variables = make_model()
+    image = np.random.rand(3, 64, 64).astype(np.float32)
+    label = np.zeros((3, 64, 64), np.int32)
+    label[:, 20:40, 20:40] = 1
+    for mode in ["model1", "model2", "logit_ensemble", "prob_ensemble"]:
+        predictor = make_predictor(model, mode)
+        metrics = eval_single_volume(image, label, predictor, variables, 4,
+                                     patch_size=(64, 64))
+        assert len(metrics) == 3  # classes 1..3
+        assert all(len(m) == 2 for m in metrics)
+
+
+def test_evaluate_volumes_mean():
+    model, variables = make_model()
+    ds = SyntheticVolumeDataset((4, 64, 64), 4, length=2)
+    predictor = make_predictor(model, "logit_ensemble")
+    m = evaluate_volumes(ds, predictor, variables, 4, (64, 64))
+    assert m.shape == (3, 2)
+    assert np.isfinite(m).all()
