@@ -13,7 +13,7 @@ import os
 import jax
 import numpy as np
 
-from chap_tpu.config import Config, load_config, update_values
+from chap_tpu.config import Config, update_values
 from chap_tpu.data.datasets import AcdcVolumeDataset, SyntheticVolumeDataset
 from chap_tpu.eval.eval2d import make_predictor, test_single_volume
 from chap_tpu.models import net_factory

@@ -16,7 +16,7 @@ enumeration, test_2D_fully.py:98-101):
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 

@@ -12,7 +12,6 @@ prob_ensemble (and plain single-output models).
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, List, Sequence, Tuple
 
 import jax

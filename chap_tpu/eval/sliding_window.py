@@ -24,7 +24,7 @@ Optional largest-connected-component post-processing matches the test_LA
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

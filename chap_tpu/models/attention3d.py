@@ -8,13 +8,12 @@ by a 1x1 conv.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from chap_tpu.models.layers import upsample2x_trilinear
 from chap_tpu.models.unet3d import UnetConv3, UnetUp3CT
 
 

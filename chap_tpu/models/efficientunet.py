@@ -9,7 +9,7 @@ stem 32ch, MBConv stages producing the standard 5-level pyramid
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ materializing index tensors (and it compiles to a fused scatter).
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import flax.linen as nn
 import jax

@@ -9,8 +9,6 @@ softmax maps in train mode.
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

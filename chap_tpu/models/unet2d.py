@@ -17,7 +17,6 @@ from chap_tpu.models.perturb import (
     feature_dropout,
     feature_noise,
     perform_dropout,
-    _channel_dropout,
 )
 
 DEFAULT_CHNS = (16, 32, 64, 128, 256)

@@ -6,8 +6,6 @@ dropout 0.3 at the center and after the last up block.
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ reference's decoder asymmetry: decoder1 trilinear-up, decoder2 deconv-up.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import flax.linen as nn
 import jax

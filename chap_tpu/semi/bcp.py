@@ -7,8 +7,6 @@ offsets + static patch size -> no recompilation per position).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

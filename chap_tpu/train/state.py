@@ -7,7 +7,7 @@ lr = base * (1 - step/max_iter)^0.9 (train_ours_2D.py:387-389).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.struct
 import jax

@@ -20,8 +20,7 @@ Semantics notes (reconstructed where the reference's utils.losses is missing):
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

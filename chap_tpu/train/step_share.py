@@ -14,7 +14,7 @@ Three jitted programs: joint CPS step, decoder max-step, encoder min-step.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.struct
 import jax

@@ -7,7 +7,6 @@ exist for), evaluated with the batched sliding-window engine.
 from __future__ import annotations
 
 import logging
-import time
 from typing import Dict, Optional
 
 import jax
@@ -20,7 +19,7 @@ from chap_tpu.data.pipeline import BatchLoader
 from chap_tpu.data.sampler import TwoStreamBatchSampler
 from chap_tpu.data.transforms3d import RandomGenerator3D
 from chap_tpu.eval.sliding_window import test_all_case
-from chap_tpu.losses.ce import cross_entropy, cross_entropy_per_pixel
+from chap_tpu.losses.ce import cross_entropy_per_pixel
 from chap_tpu.losses.dice import dice_ce_supervised
 from chap_tpu.models import net_factory_3d
 from chap_tpu.train.state import TrainState, create_train_state, make_optimizer

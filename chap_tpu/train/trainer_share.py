@@ -7,7 +7,6 @@ memory bank, with the min-max replay game kicking in after acal_start_iter
 from __future__ import annotations
 
 import logging
-import time
 from typing import Optional
 
 import jax

@@ -9,7 +9,7 @@ wall-clock timing with dependency-chained repeats (one device sync).
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
