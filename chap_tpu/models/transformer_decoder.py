@@ -89,6 +89,36 @@ class FFNLayer(nn.Module):
         return nn.LayerNorm(dtype=self.dtype)(x + h)
 
 
+class KMaxCrossAttentionLayer(nn.Module):
+    """k-means cross-attention (MyKMaXTransformerDecoder, mask2former...py:
+    715-938): pixels are hard-assigned to their argmax query (cluster
+    assignment) and each query aggregates its cluster's features — the
+    k-means update step — instead of softmax attention over pixels. The hard
+    assignment uses a straight-through one-hot (gumbel-free): forward = one-hot
+    argmax over the query axis, backward = softmax gradient."""
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt: jnp.ndarray, memory: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b, n, c = tgt.shape
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(tgt)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="k")(memory)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="v")(memory)
+        logits = jnp.einsum("bnc,bmc->bnm", q, k) / jnp.sqrt(self.dim).astype(self.dtype)
+        # cluster assignment over the QUERY axis (axis=1), per pixel
+        soft = jax.nn.softmax(logits, axis=1)
+        hard = jax.nn.one_hot(jnp.argmax(logits, axis=1), n, axis=1,
+                              dtype=soft.dtype)
+        assign = soft + jax.lax.stop_gradient(hard - soft)   # straight-through
+        pooled = jnp.einsum("bnm,bmc->bnc", assign, v)
+        pooled = pooled / (jnp.sum(assign, axis=-1, keepdims=True) + 1e-6)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(pooled)
+        tgt = nn.LayerNorm(dtype=self.dtype)(tgt + out)
+        return tgt, logits
+
+
 class MaskTransformerDecoder(nn.Module):
     """MyTransformerDecoder equivalent: queries cycle over `num_levels`
     feature scales for `num_layers` rounds; every cross-attn's attention map
@@ -143,3 +173,46 @@ class MaskTransformerDecoder(nn.Module):
             seg_maps.append(seg.reshape(b, self.num_queries, h, w))
             attn_maps.append(attn.reshape(b, self.num_queries, h, w))
         return seg_maps, attn_maps
+
+
+class KMaxTransformerDecoder(nn.Module):
+    """MyKMaXTransformerDecoder equivalent: same query/level cycling but with
+    k-means cluster-assignment cross-attention; per-layer seg heads over the
+    assignment logits."""
+    num_queries: int = 4
+    hidden_dim: int = 256
+    num_layers: int = 6
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], *, train: bool = False):
+        num_levels = len(features)
+        b = features[0].shape[0]
+        tokens, hw = [], []
+        for i, f in enumerate(features):
+            _, h, w, _ = f.shape
+            t = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
+                        name=f"input_proj{i}")(f).reshape(b, h * w, self.hidden_dim)
+            tokens.append(t + position_embedding_sine(h, w, self.hidden_dim)[None])
+            hw.append((h, w))
+
+        query_feat = self.param("query_feat", nn.initializers.normal(0.02),
+                                (self.num_queries, self.hidden_dim))
+        tgt = jnp.broadcast_to(query_feat[None], (b,) + query_feat.shape)
+        qpos = jnp.zeros_like(tgt)
+
+        seg_maps: List[jnp.ndarray] = []
+        for layer in range(self.num_layers):
+            lvl = layer % num_levels
+            tgt, logits = KMaxCrossAttentionLayer(self.hidden_dim, self.dtype,
+                                                  name=f"kmax{layer}")(tgt, tokens[lvl])
+            tgt = SelfAttentionLayer(self.hidden_dim, self.num_heads,
+                                     self.dtype, name=f"self{layer}")(tgt, qpos)
+            tgt = FFNLayer(self.hidden_dim, dtype=self.dtype,
+                           name=f"ffn{layer}")(tgt)
+            h, w = hw[lvl]
+            seg = nn.Dense(1, dtype=self.dtype, name=f"seg_head{layer}")(
+                logits[..., None])[..., 0]
+            seg_maps.append(seg.reshape(b, self.num_queries, h, w))
+        return seg_maps

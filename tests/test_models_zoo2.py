@@ -146,3 +146,20 @@ def test_timing_harness():
     stats = benchmark_fwd_bwd(model, jnp.zeros((1, 32, 32, 1)), num_iters=2)
     assert stats["fwd_ms"] > 0 and stats["fwd_bwd_ms"] > 0
     assert stats["params"] > 0
+
+
+def test_kmax_transformer_decoder():
+    from chap_tpu.models.transformer_decoder import KMaxTransformerDecoder
+    dec = KMaxTransformerDecoder(num_queries=4, hidden_dim=32, num_layers=2,
+                                 num_heads=4)
+    feats = [jnp.zeros((2, 8, 8, 16))]
+    v = dec.init({"params": jax.random.PRNGKey(0)}, feats, train=False)
+    segs = dec.apply(v, feats, train=False)
+    assert len(segs) == 2
+    assert segs[0].shape == (2, 4, 8, 8)
+    # gradient flows through the straight-through assignment
+    def loss(p):
+        return jnp.sum(dec.apply(p, [jnp.ones((1, 8, 8, 16))], train=False)[0])
+    g = jax.grad(lambda p: loss(p))(v)
+    assert np.isfinite(jax.tree.leaves(jax.tree.map(
+        lambda x: np.abs(np.asarray(x)).sum(), g["params"]))[0])
