@@ -116,9 +116,11 @@ class SlidingWindowEngine:
                 if isinstance(out, (tuple, list)):
                     # dual-decoder logit ensemble (test_2D_fully.py:72)
                     out = (out[0] + out[1]) / 2.0
-                probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+                # class axis to a MAJOR dim BEFORE the softmax: softmax over a
+                # tiny class-minor axis runs on 128-lane-padded layouts
+                out = jnp.moveaxis(out, -1, 1)                # [B,C,pw,ph,pd]
+                probs = jax.nn.softmax(out.astype(jnp.float32), axis=1)
                 probs = probs * b_valid[:, None, None, None, None]
-                probs = jnp.moveaxis(probs, -1, 1)            # [B,C,pw,ph,pd]
 
                 s_ = jnp.einsum("bcxyz,bzZ->bcxyZ", probs, sz)
                 s_ = jnp.einsum("bcxyZ,byY->bcxYZ", s_, sy)
