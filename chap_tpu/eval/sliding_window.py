@@ -135,15 +135,11 @@ class SlidingWindowEngine:
                                            (starts, valid))
             label = jnp.argmax(score / jnp.maximum(cnt, 1e-8)[None],
                                axis=0)
-            # the device->host path is the scarce resource (tunnel-attached
-            # TPUs move ~30 MB/s down): int8 labels (4x smaller), and for
-            # binary protocols bit-packed uint8 (32x smaller; exact —
-            # np.unpackbits on host)
-            if num_classes == 2 and shape[-1] % 8 == 0:
-                bits = label.reshape(shape[0], shape[1], shape[2] // 8, 8)
-                weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-                return jnp.sum(bits.astype(jnp.uint8) * weights,
-                               axis=-1).astype(jnp.uint8)
+            # int8 result: the device->host path is the scarce resource
+            # (tunnel-attached TPUs move ~30 MB/s down), 4x smaller download.
+            # (bit-packing binary maps was tried and reverted: the pack op's
+            # relayout costs about what the smaller transfer saves, and
+            # tunnel throughput variance swamps the difference)
             return label.astype(jnp.int8)
 
         self._run = jax.jit(run, static_argnums=(4,))
@@ -174,15 +170,11 @@ class SlidingWindowEngine:
 
         device_map = self._run(variables, jnp.asarray(image.astype(np.float32)),
                                jnp.asarray(starts), jnp.asarray(valid), num_classes)
-        return device_map, (w, h, d), pad_lo, any(pads), shape
+        return device_map, (w, h, d), pad_lo, any(pads)
 
     def finalize(self, handle, num_classes: int, nms: bool = False) -> np.ndarray:
-        device_map, (w, h, d), pad_lo, padded, shape = handle
-        label_map = np.asarray(device_map)
-        if label_map.shape != shape:  # bit-packed binary result
-            label_map = np.unpackbits(label_map.astype(np.uint8),
-                                      axis=-1).reshape(shape)
-        label_map = label_map.astype(np.int32)
+        device_map, (w, h, d), pad_lo, padded = handle
+        label_map = np.asarray(device_map).astype(np.int32)
         if padded:
             label_map = label_map[pad_lo[0]:pad_lo[0] + w,
                                   pad_lo[1]:pad_lo[1] + h,
