@@ -10,11 +10,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from chap_tpu.models.layers import upsample2x_trilinear
 
 
 class UnetConv3(nn.Module):
-    """2x (conv3x3x3 -> [BN] -> ReLU)."""
+    """2x (conv3x3x3 -> [norm] -> ReLU).
+
+    NB: the reference's UnetConv3 applies nn.InstanceNorm3d even though the
+    flag is named is_batchnorm (networks/utils.py:103-110) — matched here
+    (affine-free per-instance normalization)."""
     out_channels: int
     is_batchnorm: bool = True
     dtype: jnp.dtype = jnp.float32
@@ -24,21 +27,25 @@ class UnetConv3(nn.Module):
         for _ in range(2):
             x = nn.Conv(self.out_channels, (3, 3, 3), padding=1, dtype=self.dtype)(x)
             if self.is_batchnorm:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 dtype=self.dtype)(x)
+                mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+                var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
+                x = ((x - mean) / jnp.sqrt(var + 1e-5)).astype(self.dtype)
             x = nn.relu(x)
         return x
 
 
 class UnetUp3CT(nn.Module):
-    """Trilinear 2x upsample + skip concat + UnetConv3."""
+    """Trilinear 2x upsample (align_corners=False, the torch nn.Upsample
+    default at networks/utils.py:264) + skip concat + UnetConv3."""
     out_channels: int
     is_batchnorm: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, skip: jnp.ndarray, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
-        x = upsample2x_trilinear(x)
+        n, d, h, w, c = x.shape
+        # half-pixel-centered trilinear == jax.image.resize 'linear'
+        x = jax.image.resize(x, (n, 2 * d, 2 * h, 2 * w, c), method="linear")
         x = jnp.concatenate([skip, x], axis=-1)
         return UnetConv3(self.out_channels, self.is_batchnorm, self.dtype)(x, train=train)
 

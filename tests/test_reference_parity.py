@@ -161,3 +161,121 @@ def test_dualdecoder_matches_reference(torch_unet_module, decoder_type):
 
     np.testing.assert_allclose(np.asarray(out1_j), out1_t, atol=2e-4, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(out2_j), out2_t, atol=2e-4, rtol=2e-3)
+
+
+def _copy_convblock3d(params, stats, torch_block, n_stages):
+    """vnet.py ConvBlock: n_stages x (Conv3d, BatchNorm3d, ReLU)."""
+    seq = torch_block.conv
+    for i in range(n_stages):
+        conv, bn = seq[3 * i], seq[3 * i + 1]
+        params[f"Conv_{i}"]["kernel"] = np.transpose(
+            conv.weight.detach().numpy(), (2, 3, 4, 1, 0))
+        params[f"Conv_{i}"]["bias"] = conv.bias.detach().numpy()
+        copy_bn(params[f"BatchNorm_{i}"], stats[f"BatchNorm_{i}"], bn)
+
+
+def _copy_down3d(params, stats, torch_block):
+    conv, bn = torch_block.conv[0], torch_block.conv[1]
+    params["Conv_0"]["kernel"] = np.transpose(conv.weight.detach().numpy(),
+                                              (2, 3, 4, 1, 0))
+    params["Conv_0"]["bias"] = conv.bias.detach().numpy()
+    copy_bn(params["BatchNorm_0"], stats["BatchNorm_0"], bn)
+
+
+def _copy_up3d_deconv(params, stats, torch_block):
+    deconv, bn = torch_block.conv[0], torch_block.conv[1]
+    w = deconv.weight.detach().numpy()            # [in, out, kd, kh, kw]
+    w = np.transpose(w, (2, 3, 4, 0, 1))[::-1, ::-1, ::-1]
+    params["ConvTranspose_0"]["kernel"] = np.ascontiguousarray(w)
+    params["ConvTranspose_0"]["bias"] = deconv.bias.detach().numpy()
+    copy_bn(params["BatchNorm_0"], stats["BatchNorm_0"], bn)
+
+
+def test_vnet_matches_reference(torch_unet_module):
+    import torch
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    from chap_tpu.models.vnet3d import VNet
+
+    ref_vnet = importlib.import_module("networks.vnet")
+    torch.manual_seed(0)
+    ref = ref_vnet.VNet(n_channels=1, n_classes=2, normalization="batchnorm",
+                        has_dropout=False)
+    ref.eval()
+
+    model = VNet(num_classes=2, normalization="batchnorm", has_dropout=False)
+    x_np = np.random.RandomState(0).rand(1, 32, 32, 16, 1).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x_np), train=False)
+    params = jax.tree.map(np.asarray, _to_mutable(variables["params"]))
+    stats = jax.tree.map(np.asarray, _to_mutable(variables["batch_stats"]))
+
+    enc_p, enc_s = params["encoder"], stats["encoder"]
+    stages = {"block_one": 1, "block_two": 2, "block_three": 3,
+              "block_four": 3, "block_five": 3}
+    for name, n in stages.items():
+        _copy_convblock3d(enc_p[name], enc_s[name], getattr(ref.encoder, name), n)
+    for name in ["block_one_dw", "block_two_dw", "block_three_dw", "block_four_dw"]:
+        _copy_down3d(enc_p[name], enc_s[name], getattr(ref.encoder, name))
+
+    dec_p, dec_s = params["decoder"], stats["decoder"]
+    dstages = {"block_six": 3, "block_seven": 3, "block_eight": 2, "block_nine": 1}
+    for name, n in dstages.items():
+        _copy_convblock3d(dec_p[name], dec_s[name], getattr(ref.decoder, name), n)
+    for name in ["block_five_up", "block_six_up", "block_seven_up", "block_eight_up"]:
+        _copy_up3d_deconv(dec_p[name], dec_s[name], getattr(ref.decoder, name))
+    copy_conv3d_simple = ref.decoder.out_conv
+    dec_p["out_conv"]["kernel"] = np.transpose(
+        copy_conv3d_simple.weight.detach().numpy(), (2, 3, 4, 1, 0))
+    dec_p["out_conv"]["bias"] = copy_conv3d_simple.bias.detach().numpy()
+
+    out_j = model.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(x_np), train=False)
+    with torch.no_grad():
+        xt = torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3)))
+        out_t = ref(xt)
+    out_t = np.transpose(out_t.numpy(), (0, 2, 3, 4, 1))
+    np.testing.assert_allclose(np.asarray(out_j), out_t, atol=2e-4, rtol=2e-3)
+
+
+def test_unet3d_matches_reference(torch_unet_module):
+    import torch
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    from chap_tpu.models.unet3d import UNet3D
+
+    ref_mod = importlib.import_module("networks.unet_3D")
+    torch.manual_seed(0)
+    ref = ref_mod.unet_3D(n_classes=2, in_channels=1)
+    ref.eval()
+
+    model = UNet3D(num_classes=2)
+    x_np = np.random.RandomState(0).rand(1, 32, 32, 32, 1).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x_np), train=False)
+    params = jax.tree.map(np.asarray, _to_mutable(variables["params"]))
+
+    def copy_unetconv3(p, tb):
+        for i, seq in enumerate([tb.conv1, tb.conv2]):
+            conv = seq[0]
+            p[f"Conv_{i}"]["kernel"] = np.transpose(
+                conv.weight.detach().numpy(), (2, 3, 4, 1, 0))
+            p[f"Conv_{i}"]["bias"] = conv.bias.detach().numpy()
+
+    for name in ["conv1", "conv2", "conv3", "conv4", "center"]:
+        copy_unetconv3(params[name], getattr(ref, name))
+    for name in ["up_concat4", "up_concat3", "up_concat2", "up_concat1"]:
+        copy_unetconv3(params[name]["UnetConv3_0"], getattr(ref, name).conv)
+    params["final"]["kernel"] = np.transpose(
+        ref.final.weight.detach().numpy(), (2, 3, 4, 1, 0))
+    params["final"]["bias"] = ref.final.bias.detach().numpy()
+
+    out_j = model.apply({"params": params, "batch_stats": {}},
+                        jnp.asarray(x_np), train=False)
+    with torch.no_grad():
+        xt = torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3)))
+        out_t = ref(xt)
+    out_t = np.transpose(out_t.numpy(), (0, 2, 3, 4, 1))
+    np.testing.assert_allclose(np.asarray(out_j), out_t, atol=3e-4, rtol=3e-3)
