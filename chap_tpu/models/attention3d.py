@@ -18,17 +18,11 @@ from chap_tpu.models.unet3d import UnetConv3, UnetUp3CT
 
 
 def _resize_trilinear(x: jnp.ndarray, size: Tuple[int, int, int]) -> jnp.ndarray:
-    """align_corners=True trilinear resize of NDHWC to target spatial size."""
-    n, d, h, w, c = x.shape
-    scales, translations = [], []
-    for o, i in zip(size, (d, h, w)):
-        s = (o - 1) / (i - 1) if i > 1 and o > 1 else float(o) / i
-        scales.append(s)
-        translations.append(0.5 * (1 - s))
-    return jax.image.scale_and_translate(
-        x, (n,) + tuple(size) + (c,), (1, 2, 3),
-        jnp.array(scales, x.dtype), jnp.array(translations, x.dtype),
-        method="linear")
+    """Half-pixel (align_corners=False) trilinear resize of NDHWC — matching
+    the reference's F.upsample/nn.Upsample defaults in the attention gates and
+    dsv heads (grid_attention_layer.py:95-105, utils.py UnetDsv3)."""
+    n, _, _, _, c = x.shape
+    return jax.image.resize(x, (n,) + tuple(size) + (c,), method="linear")
 
 
 class GridAttentionBlock3D(nn.Module):
@@ -111,10 +105,12 @@ class AttentionUNet3D(nn.Module):
         p4 = nn.max_pool(conv4, (2, 2, 2), strides=(2, 2, 2))
 
         center = UnetConv3(filters[4], self.is_batchnorm, self.dtype, name="center")(p4, train=train)
+        # UnetGridGatingSignal3: conv1x1 + InstanceNorm + ReLU (utils.py:192-204
+        # — like UnetConv3, its is_batchnorm flag actually selects InstanceNorm)
         gating = nn.Conv(filters[4], (1, 1, 1), dtype=self.dtype, name="gating_conv")(center)
-        gating = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                              dtype=self.dtype, name="gating_bn")(gating)
-        gating = nn.relu(gating)
+        g_mean = jnp.mean(gating, axis=(1, 2, 3), keepdims=True)
+        g_var = jnp.var(gating, axis=(1, 2, 3), keepdims=True)
+        gating = nn.relu((gating - g_mean) / jnp.sqrt(g_var + 1e-5))
 
         g4, _ = MultiAttentionBlock(filters[3], self.dtype, name="attentionblock4")(conv4, gating, train=train)
         up4 = UnetUp3CT(filters[3], self.is_batchnorm, self.dtype, name="up_concat4")(g4, center, train=train)

@@ -279,3 +279,67 @@ def test_unet3d_matches_reference(torch_unet_module):
         out_t = ref(xt)
     out_t = np.transpose(out_t.numpy(), (0, 2, 3, 4, 1))
     np.testing.assert_allclose(np.asarray(out_j), out_t, atol=3e-4, rtol=3e-3)
+
+
+def test_attention_unet3d_matches_reference(torch_unet_module):
+    import torch
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    from chap_tpu.models.attention3d import AttentionUNet3D
+
+    ref_mod = importlib.import_module("networks.attention_unet")
+    torch.manual_seed(0)
+    ref = ref_mod.Attention_UNet(n_classes=2, in_channels=1)
+    ref.eval()
+
+    model = AttentionUNet3D(num_classes=2)
+    x_np = np.random.RandomState(0).rand(1, 32, 32, 32, 1).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x_np), train=False)
+    params = jax.tree.map(np.asarray, _to_mutable(variables["params"]))
+    stats = jax.tree.map(np.asarray, _to_mutable(variables["batch_stats"]))
+
+    def c3d(p, conv):
+        p["kernel"] = np.transpose(conv.weight.detach().numpy(), (2, 3, 4, 1, 0))
+        if conv.bias is not None:
+            p["bias"] = conv.bias.detach().numpy()
+
+    def copy_unetconv3(p, tb):
+        for i, seq in enumerate([tb.conv1, tb.conv2]):
+            c3d(p[f"Conv_{i}"], seq[0])
+
+    for name in ["conv1", "conv2", "conv3", "conv4", "center"]:
+        copy_unetconv3(params[name], getattr(ref, name))
+    for name in ["up_concat4", "up_concat3", "up_concat2", "up_concat1"]:
+        copy_unetconv3(params[name]["UnetConv3_0"], getattr(ref, name).conv)
+
+    # gating signal: conv1x1 + InstanceNorm + ReLU (UnetGridGatingSignal3)
+    c3d(params["gating_conv"], ref.gating.conv1[0])
+
+    for blk in ["attentionblock2", "attentionblock3", "attentionblock4"]:
+        tb = getattr(ref, blk)
+        pb, sb = params[blk], stats[blk]
+        for gi, gate_name in [(1, "gate_block_1"), (2, "gate_block_2")]:
+            tg = getattr(tb, f"gate_block_{gi}")
+            pg, sg = pb[gate_name], sb[gate_name]
+            c3d(pg["theta"], tg.theta)
+            c3d(pg["phi"], tg.phi)
+            c3d(pg["psi"], tg.psi)
+            c3d(pg["W"], tg.W[0])
+            copy_bn(pg["BatchNorm_0"], sg["BatchNorm_0"], tg.W[1])
+        c3d(pb["Conv_0"], tb.combine_gates[0])
+        copy_bn(pb["BatchNorm_0"], sb["BatchNorm_0"], tb.combine_gates[1])
+
+    for dsv in ["dsv4", "dsv3", "dsv2"]:
+        c3d(params[dsv]["Conv_0"], getattr(ref, dsv).dsv[0])
+    c3d(params["dsv1"], ref.dsv1)
+    c3d(params["final"], ref.final)
+
+    out_j = model.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(x_np), train=False)
+    with torch.no_grad():
+        xt = torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3)))
+        out_t = ref(xt)
+    out_t = np.transpose(out_t.numpy(), (0, 2, 3, 4, 1))
+    np.testing.assert_allclose(np.asarray(out_j), out_t, atol=3e-4, rtol=3e-3)
