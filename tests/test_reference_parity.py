@@ -343,3 +343,44 @@ def test_attention_unet3d_matches_reference(torch_unet_module):
         out_t = ref(xt)
     out_t = np.transpose(out_t.numpy(), (0, 2, 3, 4, 1))
     np.testing.assert_allclose(np.asarray(out_j), out_t, atol=3e-4, rtol=3e-3)
+
+
+def test_voxresnet_matches_reference(torch_unet_module):
+    import torch
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    from chap_tpu.models.voxresnet import VoxResNet
+
+    ref_mod = importlib.import_module("networks.VoxResNet")
+    torch.manual_seed(0)
+    ref = ref_mod.VoxResNet(in_chns=1, feature_chns=16, class_num=2)
+    ref.eval()
+
+    model = VoxResNet(num_classes=2, feature_chns=16)
+    x_np = np.random.RandomState(0).rand(1, 16, 16, 16, 1).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x_np), train=False)
+    params = jax.tree.map(np.asarray, _to_mutable(variables["params"]))
+
+    def c3d(p, conv):
+        p["kernel"] = np.transpose(conv.weight.detach().numpy(), (2, 3, 4, 1, 0))
+        if conv.bias is not None:
+            p["bias"] = conv.bias.detach().numpy()
+
+    c3d(params["conv1"], ref.conv1)
+    for i in range(1, 7):
+        tb = getattr(ref, f"res{i}").block
+        c3d(params[f"res{i}"]["Conv_0"], tb[2])
+        c3d(params[f"res{i}"]["Conv_1"], tb[5])
+    for name, tb in [("up1_conv", ref.up1.conv.conv_conv), ("up2_conv", ref.up2.conv.conv_conv)]:
+        c3d(params[name]["Conv_0"], tb[2])
+        c3d(params[name]["Conv_1"], tb[5])
+    c3d(params["out"], ref.out)
+
+    out_j = model.apply({"params": params}, jnp.asarray(x_np), train=False)
+    with torch.no_grad():
+        xt = torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3)))
+        out_t = ref(xt)
+    out_t = np.transpose(out_t.numpy(), (0, 2, 3, 4, 1))
+    np.testing.assert_allclose(np.asarray(out_j), out_t, atol=3e-4, rtol=3e-3)
