@@ -119,3 +119,31 @@ def test_vat_loss_runs_and_positive():
     # jittable
     jitted = jax.jit(lambda x, r: vat_loss_2d(apply_fn, x, soft1, soft2, mask, r))
     assert float(jitted(x, jax.random.PRNGKey(6))) > 0.0
+
+
+def test_vat_power_iteration_finds_adversarial_direction():
+    """The VAT direction after power iteration must yield a larger divergence
+    than random directions of the same radius (the point of the method)."""
+    w1 = jax.random.normal(jax.random.PRNGKey(2), (1, 4)) * jnp.array([[5., 0.1, 0.1, 0.1]])
+    w2 = w1 * 1.1
+
+    def apply_fn(x):
+        return x @ w1, x @ w2
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 16, 16, 1))
+    l1, l2 = apply_fn(x)
+    soft1 = jax.nn.softmax(l1, axis=-1)
+    soft2 = jax.nn.softmax(l2, axis=-1)
+    mask = jnp.ones((4, 16, 16))
+
+    vat = float(vat_loss_2d(apply_fn, x, soft1, soft2, mask,
+                            jax.random.PRNGKey(5), xi=10.0, epi=6.0))
+
+    from chap_tpu.losses.vat import l2_normalize_batch, _divergence
+    rand_divs = []
+    for s in range(8):
+        d = l2_normalize_batch(
+            jax.random.uniform(jax.random.PRNGKey(100 + s), x.shape) - 0.5)
+        a1, a2 = apply_fn(x + 6.0 * d)
+        rand_divs.append(float(_divergence(a1, a2, soft1, soft2, mask, "kl")))
+    assert vat > max(rand_divs)
