@@ -48,3 +48,35 @@ def test_evaluate_volumes_mean():
     m = evaluate_volumes(ds, predictor, variables, 4, (64, 64))
     assert m.shape == (3, 2)
     assert np.isfinite(m).all()
+
+
+class ThresholdModel:
+    """Toy model for protocol parity: class = intensity > 0.5."""
+
+    def apply(self, variables, x, train=False):
+        fg = (x[..., 0] > 0.5).astype(jnp.float32)
+        return jnp.stack([(1 - fg) * 9.0, fg * 9.0], axis=-1)
+
+
+def test_eval_protocol_matches_reference_loop():
+    """My batched slice evaluator must equal a direct transcription of the
+    reference per-slice loop (val_2D.py:54-97 geometry: zoom to patch, argmax,
+    zoom back) with the same toy predictor."""
+    from scipy.ndimage import zoom as nd_zoom
+    rng = np.random.RandomState(0)
+    image = rng.rand(7, 100, 90).astype(np.float32)
+
+    predictor = make_predictor(ThresholdModel(), "logit_ensemble") if False \
+        else None
+    # single-output model path
+    import chap_tpu.eval.eval2d as e2
+    pred_fn = e2.make_predictor(ThresholdModel(), "logit_ensemble")
+    # ThresholdModel returns stacked logits (array, not tuple) -> plain path
+    got = predict_volume(pred_fn, {}, image, patch_size=(64, 64), slice_batch=4)
+
+    want = np.zeros_like(image, dtype=np.int64)
+    for i in range(image.shape[0]):
+        sl = nd_zoom(image[i], (64 / 100, 64 / 90), order=0)
+        pred = (sl > 0.5).astype(np.int64)
+        want[i] = nd_zoom(pred.astype(np.float32), (100 / 64, 90 / 64), order=0)
+    np.testing.assert_array_equal(got, want.astype(np.int32))
