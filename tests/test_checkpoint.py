@@ -1,0 +1,37 @@
+"""Orbax full-state checkpoint roundtrip (latest/best slots, sim_scores)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chap_tpu.config import Config
+from chap_tpu.models import net_factory
+from chap_tpu.train.state import create_train_state, make_optimizer
+from chap_tpu.utils.checkpoint import CheckpointManager
+
+
+def test_train_state_roundtrip(tmp_path):
+    cfg = Config()
+    cfg.model.feature_chns = (4, 8, 16, 16, 32)
+    model = net_factory("dualdecoder", 1, 4, cfg.model)
+    opt = make_optimizer(0.01, 100)
+    sample = jnp.zeros((2, 32, 32, 1))
+    state = create_train_state(model, jax.random.PRNGKey(0), sample, opt,
+                               sim_chns=tuple(cfg.model.feature_chns))
+    state = state.replace(step=jnp.int32(7),
+                          sim_scores=tuple(s + 0.5 for s in state.sim_scores))
+
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save_latest(jax.device_get(state))
+    assert ckpt.has("latest") and not ckpt.has("best")
+
+    template = create_train_state(model, jax.random.PRNGKey(1), sample, opt,
+                                  sim_chns=tuple(cfg.model.feature_chns))
+    restored = ckpt.restore_latest(template)
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(np.asarray(restored.sim_scores[0]), 0.5)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer momentum restored
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
+        if hasattr(a, "shape"):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
