@@ -56,16 +56,19 @@ def _propagate_max(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask, jnp.maximum(labels, neigh), -1)
 
 
-def _label_mask_batch(mask: jnp.ndarray, props_per_jump: int = 32) -> jnp.ndarray:
+def _label_mask_batch(mask: jnp.ndarray, props_per_round: int = 8,
+                      rounds_per_jump: int = 32) -> jnp.ndarray:
     """Connected-component labels of a [B,H,W] bool mask: each component gets
     the max linear index it contains; background = -1.
 
-    Each while iteration does `props_per_jump` cheap 8-neighbourhood
-    max-propagations (pure VPU reduce_windows) followed by ONE pointer-jump
-    gather (each pixel adopts its current representative's label). The jump
-    gives pointer-doubling convergence while amortizing the expensive TPU
-    gather over many propagation steps — on noisy early-training pseudo-labels
-    this converges in ~6 outer iterations vs ~50 gathers for jump-every-step.
+    Max-propagation (8-neighbourhood reduce_window) is nearly free on the VPU
+    (~0.5 ms for 72x256x256), so the while loop runs blocks of
+    `props_per_round` propagations with NO gathers on the common path — noisy
+    pseudo-labels converge in a few hundred props. The pointer-jump gather
+    (each pixel adopts its representative's current label; pointer-doubling
+    convergence) is expensive on TPU (~50 ms) and fires only as an escape
+    hatch every `rounds_per_jump` rounds, bounding pathological serpentine
+    components to O(log diameter) jumps.
     """
     b, h, w = mask.shape
     idx = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w)
@@ -75,19 +78,59 @@ def _label_mask_batch(mask: jnp.ndarray, props_per_jump: int = 32) -> jnp.ndarra
         labels, prev, _ = carry
         return jnp.any(labels != prev)
 
+    def jump(new):
+        flat = new.reshape(b, h * w)
+        jumped = jnp.take_along_axis(flat, jnp.maximum(flat, 0), axis=1)
+        return jnp.where(flat >= 0, jumped, -1).reshape(b, h, w)
+
     def body(carry):
         labels, _, it = carry
         new = labels
-        for _ in range(props_per_jump):
+        for _ in range(props_per_round):
             new = _propagate_max(new, mask)
-        flat = new.reshape(b, h * w)
-        jumped = jnp.take_along_axis(flat, jnp.maximum(flat, 0), axis=1)
-        jumped = jnp.where(flat >= 0, jumped, -1).reshape(b, h, w)
-        return jumped, labels, it + 1
+        new = jax.lax.cond(it % rounds_per_jump == rounds_per_jump - 1,
+                           jump, lambda x: x, new)
+        return new, labels, it + 1
 
     labels, _, _ = jax.lax.while_loop(
         cond, body, (labels, jnp.full_like(labels, -2), jnp.int32(0)))
     return labels
+
+
+def _component_sizes_matmul(flat: jnp.ndarray, num_ids: int,
+                            chunk: int = 4096) -> jnp.ndarray:
+    """Exact histogram of component IDs as MXU matmuls.
+
+    A scatter-add histogram over HW+1 bins serializes on TPU (~100 ms for a
+    24x256x256 batch). Factorize each ID as hi*K + lo (K = 256 lanes): the
+    count of ID (hi,lo) is sum_p onehot_hi[p,hi] * onehot_lo[p,lo] — an
+    einsum over pixel chunks that rides the MXU with f32 accumulation
+    (exact: one-hot inputs, counts << 2^24). Background (-1) maps to an
+    out-of-range hi bucket and drops out.
+    """
+    b, n = flat.shape
+    k = 256
+    num_hi = (num_ids + k - 1) // k
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad != n:
+        flat = jnp.pad(flat, ((0, 0), (0, n_pad - n)), constant_values=-1)
+    hi = jnp.where(flat >= 0, flat // k, num_hi)     # background -> dropped
+    lo = jnp.where(flat >= 0, flat % k, 0)
+    hi = hi.reshape(b, -1, chunk)
+    lo = lo.reshape(b, -1, chunk)
+
+    def per_chunk(counts, inputs):
+        hi_c, lo_c = inputs                            # [B, chunk]
+        oh_hi = (hi_c[..., None] == jnp.arange(num_hi)).astype(jnp.bfloat16)
+        oh_lo = (lo_c[..., None] == jnp.arange(k)).astype(jnp.bfloat16)
+        counts = counts + jnp.einsum("bph,bpl->bhl", oh_hi, oh_lo,
+                                     preferred_element_type=jnp.float32)
+        return counts, None
+
+    counts0 = jnp.zeros((b, num_hi, k), jnp.float32)
+    counts, _ = jax.lax.scan(per_chunk, counts0,
+                             (hi.transpose(1, 0, 2), lo.transpose(1, 0, 2)))
+    return counts.reshape(b, num_hi * k)[:, :num_ids]
 
 
 def largest_cc_mask(mask: jnp.ndarray) -> jnp.ndarray:
@@ -95,11 +138,9 @@ def largest_cc_mask(mask: jnp.ndarray) -> jnp.ndarray:
     b, h, w = mask.shape
     labels = _label_mask_batch(mask)
     flat = labels.reshape(b, h * w)
-    # histogram of component sizes; bin 0 = background (-1 shifted)
-    sizes = jnp.zeros((b, h * w + 1), jnp.int32)
-    sizes = sizes.at[jnp.arange(b)[:, None], flat + 1].add(1)
-    largest_bin = jnp.argmax(sizes.at[:, 0].set(0), axis=1)  # ignore background
-    keep = (flat + 1) == largest_bin[:, None]
+    sizes = _component_sizes_matmul(flat, h * w)
+    largest_id = jnp.argmax(sizes, axis=1)
+    keep = flat == largest_id[:, None]
     return keep.reshape(b, h, w) & mask
 
 
