@@ -33,11 +33,15 @@ def main() -> None:
     patch = (112, 112, 80)
     stride_xy, stride_z = 18, 4
     num_classes = 2
-    sw_batch = 48
+    sw_batch = 16            # 48-patch grid = 3 full scan steps, no padding
 
     model = net_factory_3d("vnet", 1, num_classes, mode="test", cfg=cfg)
     sample = jnp.zeros((sw_batch, *patch, 1), jnp.bfloat16)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, sample, train=False)
+    # jit the init: unjitted flax init runs eagerly op-by-op with every
+    # intermediate live at once — OOMs at batch 16+ full-res 3D shapes
+    variables = jax.jit(
+        lambda k: model.init({"params": k}, sample, train=False)
+    )(jax.random.PRNGKey(0))
 
     # LA-like synthetic volume
     rng = np.random.RandomState(0)
@@ -54,10 +58,13 @@ def main() -> None:
         for h in handles:
             engine.finalize(h, num_classes)
 
-    # best sustained round of 3 (pipelined dispatch-ahead inside each round)
-    repeats = 4
+    # best sustained round (pipelined dispatch-ahead inside each round).
+    # 8 volumes in flight amortize the tunnel's device->host label-map
+    # downloads over compute; several rounds ride out tunnel throughput
+    # swings (observed 30 MB/s <-> ~3 MB/s over minutes).
+    repeats = 8
     best_dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         handles = [engine.predict_async(variables, volume, stride_xy, stride_z,
                                         num_classes) for _ in range(repeats)]

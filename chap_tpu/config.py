@@ -40,6 +40,9 @@ class ModelConfig:
     n_filters_3d: int = 16                # vnet.py n_filters
     normalization_3d: str = "batchnorm"
     dtype: str = "float32"                # compute dtype: float32 | bfloat16
+    s2d_stem: bool = True                 # run the 3D full-res stage in
+                                          # space-to-depth layout (exact TPU
+                                          # fast path, ops/s2d.py)
 
 
 @dataclass

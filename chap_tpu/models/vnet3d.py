@@ -12,6 +12,10 @@ import jax
 import jax.numpy as jnp
 
 from chap_tpu.models.layers import upsample2x_trilinear, upsample2x_nearest
+from chap_tpu.ops.s2d import (conv3d, depth_to_space_3d, phase_view,
+                              s2d_conv_kernel, s2d_deconv_kernel,
+                              s2d_down_kernel, s2d_pointwise_kernel,
+                              space_to_depth_3d)
 
 
 def _norm(normalization: str, train: bool, dtype):
@@ -27,20 +31,104 @@ def _norm(normalization: str, train: bool, dtype):
     raise ValueError(f"unknown normalization {normalization!r}")
 
 
+def _norm_maybe_s2d(norm, x: jnp.ndarray, s2d: bool) -> jnp.ndarray:
+    """Apply a channel-last norm; in s2d layout, through the [...,8,C] phase
+    view so statistics/params are per ORIGINAL channel — the exact same
+    element sets as the plain layout."""
+    if not s2d:
+        return norm(x)
+    return norm(phase_view(x)).reshape(x.shape)
+
+
+class _S2dConv(nn.Module):
+    """Stride-1 odd-k conv applied in s2d layout. Parameter tree (names,
+    shapes, init) is identical to the `nn.Conv(features, (k,k,k))` it
+    replaces; the kernel is rearranged at trace time (ops/s2d.py)."""
+    features: int
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        ci = xs.shape[-1] // 8
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, k, ci, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        w2 = s2d_conv_kernel(kernel.astype(self.dtype))
+        y = conv3d(xs.astype(self.dtype), w2)
+        return y + jnp.tile(bias.astype(self.dtype), 8)
+
+
+class _S2dDownConv(nn.Module):
+    """kernel=stride=2 down conv on s2d input == a pure 1x1x1 conv; output is
+    the plain (not s2d) half-resolution tensor. nn.Conv-compatible params."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
+        ci = xs.shape[-1] // 8
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, 2, ci, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = conv3d(xs.astype(self.dtype), s2d_down_kernel(kernel.astype(self.dtype)))
+        return y + bias.astype(self.dtype)
+
+
+class _S2dDeconv(nn.Module):
+    """kernel=stride=2 transpose conv from a PLAIN input to an S2D-layout
+    output (the 8 phases as channels). nn.ConvTranspose-compatible params."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ci = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, 2, ci, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = conv3d(x.astype(self.dtype), s2d_deconv_kernel(kernel.astype(self.dtype)))
+        return y + jnp.tile(bias.astype(self.dtype), 8)
+
+
+class _S2dPointwise(nn.Module):
+    """1x1x1 conv in s2d layout (block-diagonal over phases). nn.Conv-compatible."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray) -> jnp.ndarray:
+        ci = xs.shape[-1] // 8
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, 1, ci, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = conv3d(xs.astype(self.dtype), s2d_pointwise_kernel(kernel.astype(self.dtype)))
+        return y + jnp.tile(bias.astype(self.dtype), 8)
+
+
 class ConvBlock3d(nn.Module):
-    """n_stages x (conv3x3x3 -> norm -> relu) (vnet.py:8-34)."""
+    """n_stages x (conv3x3x3 -> norm -> relu) (vnet.py:8-34). With s2d=True
+    the block runs in space-to-depth layout (input AND output s2d) — exact,
+    see ops/s2d.py."""
     n_stages: int
     out_channels: int
     normalization: str = "none"
     dtype: jnp.dtype = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
-        for _ in range(self.n_stages):
-            x = nn.Conv(self.out_channels, (3, 3, 3), padding=1, dtype=self.dtype)(x)
+        for i in range(self.n_stages):
+            if self.s2d:
+                x = _S2dConv(self.out_channels, 3, self.dtype,
+                             name=f"Conv_{i}")(x)
+            else:
+                x = nn.Conv(self.out_channels, (3, 3, 3), padding=1,
+                            dtype=self.dtype)(x)
             norm = _norm(self.normalization, train, self.dtype)
             if norm is not None:
-                x = norm(x)
+                x = _norm_maybe_s2d(norm, x, self.s2d)
             x = nn.relu(x)
         return x
 
@@ -66,15 +154,21 @@ class ResidualConvBlock3d(nn.Module):
 
 
 class DownBlock3d(nn.Module):
-    """Strided-conv downsample, kernel=stride=2 (vnet.py:70-94)."""
+    """Strided-conv downsample, kernel=stride=2 (vnet.py:70-94). With
+    s2d_in=True the input is s2d-layout and the conv collapses to an exact
+    1x1x1 conv; the output is the usual plain half-resolution tensor."""
     out_channels: int
     normalization: str = "none"
     dtype: jnp.dtype = jnp.float32
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
-        x = nn.Conv(self.out_channels, (2, 2, 2), strides=(2, 2, 2),
-                    padding="VALID", dtype=self.dtype)(x)
+        if self.s2d_in:
+            x = _S2dDownConv(self.out_channels, self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.out_channels, (2, 2, 2), strides=(2, 2, 2),
+                        padding="VALID", dtype=self.dtype)(x)
         norm = _norm(self.normalization, train, self.dtype)
         if norm is not None:
             x = norm(x)
@@ -88,10 +182,18 @@ class UpBlock3d(nn.Module):
     normalization: str = "none"
     mode_upsampling: int = 1
     dtype: jnp.dtype = jnp.float32
+    s2d_out: bool = False          # mode 0 only: emit the s2d-layout output
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         if self.mode_upsampling == 0:
+            if self.s2d_out:
+                x = _S2dDeconv(self.out_channels, self.dtype,
+                               name="ConvTranspose_0")(x)
+                norm = _norm(self.normalization, train, self.dtype)
+                if norm is not None:
+                    x = _norm_maybe_s2d(norm, x, True)
+                return nn.relu(x)
             x = nn.ConvTranspose(self.out_channels, (2, 2, 2), strides=(2, 2, 2),
                                  dtype=self.dtype)(x)
         elif self.mode_upsampling == 1:
@@ -114,13 +216,25 @@ class VEncoder(nn.Module):
     has_dropout: bool = False
     has_residual: bool = False
     dtype: jnp.dtype = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> List[jnp.ndarray]:
         block = ResidualConvBlock3d if self.has_residual else ConvBlock3d
         nf = self.n_filters
-        x1 = block(1, nf, self.normalization, self.dtype, name="block_one")(x, train=train)
-        d1 = DownBlock3d(2 * nf, self.normalization, self.dtype, name="block_one_dw")(x1, train=train)
+        # TPU fast path: run the full-resolution stage in space-to-depth
+        # layout (exact — ops/s2d.py). The x1 skip is returned in s2d form
+        # (8*nf channels); VDecoder detects and handles it.
+        use_s2d = (self.s2d_stem and not self.has_residual
+                   and all(d % 2 == 0 for d in x.shape[1:4]))
+        if use_s2d:
+            x1 = block(1, nf, self.normalization, self.dtype, s2d=True,
+                       name="block_one")(space_to_depth_3d(x), train=train)
+            d1 = DownBlock3d(2 * nf, self.normalization, self.dtype, s2d_in=True,
+                             name="block_one_dw")(x1, train=train)
+        else:
+            x1 = block(1, nf, self.normalization, self.dtype, name="block_one")(x, train=train)
+            d1 = DownBlock3d(2 * nf, self.normalization, self.dtype, name="block_one_dw")(x1, train=train)
         x2 = block(2, 2 * nf, self.normalization, self.dtype, name="block_two")(d1, train=train)
         d2 = DownBlock3d(4 * nf, self.normalization, self.dtype, name="block_two_dw")(x2, train=train)
         x3 = block(3, 4 * nf, self.normalization, self.dtype, name="block_three")(d2, train=train)
@@ -151,6 +265,14 @@ class VDecoder(nn.Module):
         block = ResidualConvBlock3d if self.has_residual else ConvBlock3d
         nf = self.n_filters
         x1, x2, x3, x4, x5 = features
+        # x1 arrives in s2d layout (8*nf channels) when the encoder ran the
+        # s2d stem. The deconv decoder (up_type 0) keeps the whole full-res
+        # tail in s2d space; the interpolating decoders fall back via one
+        # depth_to_space.
+        x1_s2d = x1.shape[-1] == 8 * nf
+        tail_s2d = x1_s2d and self.up_type == 0
+        if x1_s2d and not tail_s2d:
+            x1 = depth_to_space_3d(x1)
         x = UpBlock3d(8 * nf, self.normalization, self.up_type, self.dtype,
                       name="block_five_up")(x5, train=train) + x4
         x = block(3, 8 * nf, self.normalization, self.dtype, name="block_six")(x, train=train)
@@ -161,27 +283,35 @@ class VDecoder(nn.Module):
                       name="block_seven_up")(x, train=train) + x2
         x = block(2, 2 * nf, self.normalization, self.dtype, name="block_eight")(x, train=train)
         x = UpBlock3d(nf, self.normalization, self.up_type, self.dtype,
-                      name="block_eight_up")(x, train=train) + x1
-        x = block(1, nf, self.normalization, self.dtype, name="block_nine")(x, train=train)
+                      s2d_out=tail_s2d, name="block_eight_up")(x, train=train) + x1
+        x = block(1, nf, self.normalization, self.dtype, s2d=tail_s2d,
+                  name="block_nine")(x, train=train)
         if self.has_dropout and train:
             rng = self.make_rng("dropout")
             keep = jax.random.bernoulli(rng, 0.5, x.shape).astype(x.dtype)
             x = x * keep / 0.5
+        if tail_s2d:
+            out = _S2dPointwise(self.num_classes, self.dtype, name="out_conv")(x)
+            return depth_to_space_3d(out)
         return nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="out_conv")(x)
 
 
 class VNet(nn.Module):
-    """Single-decoder VNet, deconv decoder (vnet.py:303-315)."""
+    """Single-decoder VNet, deconv decoder (vnet.py:303-315). s2d_stem runs
+    the full-resolution stage in space-to-depth layout (exact; TPU fast
+    path — ops/s2d.py)."""
     num_classes: int = 2
     n_filters: int = 16
     normalization: str = "none"
     has_dropout: bool = False
     has_residual: bool = False
     dtype: jnp.dtype = jnp.float32
+    s2d_stem: bool = True
 
     def setup(self):
         self.encoder = VEncoder(self.n_filters, self.normalization,
-                                self.has_dropout, self.has_residual, self.dtype)
+                                self.has_dropout, self.has_residual, self.dtype,
+                                self.s2d_stem)
         self.decoder = VDecoder(self.num_classes, self.n_filters, self.normalization,
                                 self.has_dropout, self.has_residual, 0, self.dtype)
 
@@ -197,10 +327,12 @@ class DualDecoder3d(nn.Module):
     has_dropout: bool = False
     has_residual: bool = False
     dtype: jnp.dtype = jnp.float32
+    s2d_stem: bool = True
 
     def setup(self):
         self.encoder = VEncoder(self.n_filters, self.normalization,
-                                self.has_dropout, self.has_residual, self.dtype)
+                                self.has_dropout, self.has_residual, self.dtype,
+                                self.s2d_stem)
         self.decoder1 = VDecoder(self.num_classes, self.n_filters, self.normalization,
                                  self.has_dropout, self.has_residual, 1, self.dtype)
         self.decoder2 = VDecoder(self.num_classes, self.n_filters, self.normalization,

@@ -1,0 +1,140 @@
+"""Exact space-to-depth (s2d) conv transforms for small-channel 3D stages.
+
+TPU activations put the channel dim in the 128-wide lane registers; a
+full-resolution VNet stage at C=16 therefore runs its convs at <=12.5% MXU
+utilization and its strided down/up convs bandwidth-bound (measured on v5e:
+input conv 19 ms, 2^3-stride-2 down conv 23 ms, 1x1 out conv 23 ms at batch
+48 x 112x112x80). Re-expressing the stage in s2d layout — each 2x2x2 spatial
+block folded into 8x channels — is a bijective relayout under which:
+
+  * a stride-1 odd-k conv (k<=5) becomes a 3^3 conv on 8x channels with a
+    STRUCTURED rearrangement of the same weights (exact, derivation below);
+  * the kernel=stride=2 down conv becomes a pure 1x1x1 conv (exact, zero
+    extra FLOPs: each output voxel reads exactly one s2d cell);
+  * the kernel=stride=2 transpose conv becomes a 1x1x1 conv producing the
+    8 output phases as channels (exact);
+  * a 1x1x1 conv becomes a block-diagonal 1x1x1 conv over phases (exact);
+  * norm/relu are elementwise/statistics over the same element set (exact
+    via a [..., 8, C] phase view).
+
+These are weight-layout transforms applied at trace time — parameter trees,
+shapes, and initializers stay identical to the plain `nn.Conv` modules, so
+checkpoints and weight-copy parity tests are unaffected.
+
+Derivation (1D, tensor-products to 3D). With cross-correlation semantics and
+SAME padding, y[n] = sum_{o=-r..r} w[o+r] * x[n+o]. Write the s2d coords
+x[2m+p] = xs[m, p], y[2m+q] = ys[m, q] for phases p,q in {0,1}. Substituting
+q+o = 2e+p gives
+
+    ys[m, q] = sum_{e,p} W'[e+1, p, q] * xs[m+e, p],
+    W'[c, p, q] = w[2(c-1)+p-q+r]   if 0 <= 2(c-1)+p-q+r < k else 0,
+
+with e in {-1,0,1} for r <= 2 — i.e. a kernel-3 conv whose (input-phase,
+output-phase) channel block holds a shifted copy of the original taps. SAME
+padding of 1 s2d cell is exact: any tap that would read beyond the original
+r-pixel zero pad carries a zero weight by the range check.
+
+The capability context is the reference's 3D inference/training path
+(vnet.py:8-125 ConvBlock/DownsamplingConvBlock/Upsampling_function); the
+reference itself has no TPU analog — this is the TPU-native speed-of-light
+engineering the rebuild adds.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth_3d(x: jnp.ndarray) -> jnp.ndarray:
+    """[B,W,H,D,C] -> [B,W/2,H/2,D/2,8C]; channel index = phase*C + c with
+    phase = ((px*2+py)*2+pz). Requires even spatial dims."""
+    b, w, h, d, c = x.shape
+    assert w % 2 == 0 and h % 2 == 0 and d % 2 == 0, (w, h, d)
+    x = x.reshape(b, w // 2, 2, h // 2, 2, d // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, w // 2, h // 2, d // 2, 8 * c)
+
+
+def depth_to_space_3d(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth_3d`."""
+    b, w2, h2, d2, pc = x.shape
+    assert pc % 8 == 0, pc
+    c = pc // 8
+    x = x.reshape(b, w2, h2, d2, 2, 2, 2, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, 2 * w2, 2 * h2, 2 * d2, c)
+
+
+def phase_view(x: jnp.ndarray) -> jnp.ndarray:
+    """[B,W,H,D,8C] -> [B,W,H,D,8,C] view for per-original-channel norms."""
+    b, w, h, d, pc = x.shape
+    return x.reshape(b, w, h, d, 8, pc // 8)
+
+
+def _tap_index(k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-dim tap map idx[c,p,q] = 2(c-1)+p-q+r and its validity mask."""
+    r = (k - 1) // 2
+    c = np.arange(3)[:, None, None]
+    p = np.arange(2)[None, :, None]
+    q = np.arange(2)[None, None, :]
+    idx = 2 * (c - 1) + p - q + r
+    valid = (idx >= 0) & (idx < k)
+    return np.clip(idx, 0, k - 1), valid
+
+
+def s2d_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """[k,k,k,Ci,Co] (k odd, <=5) -> [3,3,3,8Ci,8Co] s2d-space kernel."""
+    k = w.shape[0]
+    assert k % 2 == 1 and k <= 5, k
+    idx, valid = _tap_index(k)
+    wf = jnp.take(w, jnp.asarray(idx.reshape(-1)), axis=0)
+    wf = jnp.take(wf, jnp.asarray(idx.reshape(-1)), axis=1)
+    wf = jnp.take(wf, jnp.asarray(idx.reshape(-1)), axis=2)
+    ci, co = w.shape[3], w.shape[4]
+    # [cx,px,qx, cy,py,qy, cz,pz,qz, Ci, Co]
+    wf = wf.reshape(3, 2, 2, 3, 2, 2, 3, 2, 2, ci, co)
+    mask = (valid.reshape(3, 2, 2, 1, 1, 1, 1, 1, 1)
+            & valid.reshape(1, 1, 1, 3, 2, 2, 1, 1, 1)
+            & valid.reshape(1, 1, 1, 1, 1, 1, 3, 2, 2))
+    wf = wf * jnp.asarray(mask[..., None, None], wf.dtype)
+    # -> [cx,cy,cz, px,py,pz, Ci, qx,qy,qz, Co] -> [3,3,3, 8Ci, 8Co]
+    wf = wf.transpose(0, 3, 6, 1, 4, 7, 9, 2, 5, 8, 10)
+    return wf.reshape(3, 3, 3, 8 * ci, 8 * co)
+
+
+def s2d_down_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """kernel=stride=2 down conv [2,2,2,Ci,Co] -> 1x1x1 kernel [1,1,1,8Ci,Co]."""
+    ci, co = w.shape[3], w.shape[4]
+    return w.reshape(1, 1, 1, 8 * ci, co)
+
+
+def s2d_deconv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """kernel=stride=2 transpose conv [2,2,2,Ci,Co] -> [1,1,1,Ci,8Co]
+    producing the 8 output phases as (phase-major) channels.
+
+    flax nn.ConvTranspose with kernel=strides=(2,2,2) places the SPATIALLY
+    FLIPPED kernel at each input cell (verified numerically), so
+    ys[m, q*Co+co] = sum_ci w[1-qx,1-qy,1-qz,ci,co] x[m,ci].
+    """
+    ci, co = w.shape[3], w.shape[4]
+    w = w[::-1, ::-1, ::-1]
+    return w.transpose(3, 0, 1, 2, 4).reshape(1, 1, 1, ci, 8 * co)
+
+
+def s2d_pointwise_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """1x1x1 conv [1,1,1,Ci,Co] -> block-diagonal [1,1,1,8Ci,8Co] over phases."""
+    ci, co = w.shape[3], w.shape[4]
+    eye = jnp.eye(8, dtype=w.dtype)
+    blk = jnp.einsum("pq,ij->piqj", eye, w.reshape(ci, co))
+    return blk.reshape(1, 1, 1, 8 * ci, 8 * co)
+
+
+def conv3d(x: jnp.ndarray, w: jnp.ndarray, strides=(1, 1, 1),
+           padding="SAME") -> jnp.ndarray:
+    """NHWDC/HWDIO conv wrapper."""
+    return jax.lax.conv_general_dilated(
+        x, w, strides, padding,
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
