@@ -22,9 +22,22 @@ class TwoStreamBatchSampler:
         self.primary_batch_size = batch_size - secondary_batch_size
         self.secondary_batch_size = secondary_batch_size
         assert self.primary_batch_size > 0 and self.secondary_batch_size >= 0
-        assert len(self.primary_indices) >= self.primary_batch_size
-        if self.secondary_batch_size:
-            assert len(self.secondary_indices) >= self.secondary_batch_size
+        if len(self.primary_indices) < self.primary_batch_size:
+            raise ValueError(
+                f"need >= {self.primary_batch_size} labeled slices for the "
+                f"labeled half of each batch, got {len(self.primary_indices)} "
+                f"(labeled_num maps through the patients->slices table, e.g. "
+                f"ACDC 3->68, 7->136; raise the dataset size or lower "
+                f"labeled_bs/labeled_num)")
+        if self.secondary_batch_size and \
+                len(self.secondary_indices) < self.secondary_batch_size:
+            raise ValueError(
+                f"need >= {self.secondary_batch_size} UNlabeled slices for the "
+                f"unlabeled half of each batch, got "
+                f"{len(self.secondary_indices)}: the labeled split "
+                f"(labeled_num) covers too much of the dataset — raise the "
+                f"dataset size (data.synthetic_train_size for synthetic) or "
+                f"lower labeled_num")
         self.rng = np.random.RandomState(seed)
         self._secondary_pool: List[int] = []
 
