@@ -53,6 +53,11 @@ def build_cps3d_train_step(model, optimizer, cfg: Config):
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
              ) -> StepOutput:
         image, label = batch["image"], batch["label"]
+        if image.shape[0] <= lbs:
+            raise ValueError(
+                f"batch size {image.shape[0]} must exceed labeled_bs={lbs}: "
+                f"the tail of each batch is the unlabeled stream, and a mean "
+                f"over an empty unlabeled slice is silently NaN")
 
         def loss_fn(params):
             (o1, o2), updates = model.apply(
