@@ -37,12 +37,16 @@ def jc(result, reference) -> float:
 
 
 def ravd(result, reference) -> float:
-    """Relative absolute volume difference (vol(result)-vol(reference))/vol(reference)."""
+    """Relative volume difference (vol(result)-vol(reference))/vol(reference).
+
+    SIGNED, matching medpy.metric.binary.ravd despite the name: under- and
+    over-segmentation cancel when averaged per case (test_3D_util.py:147-152
+    relies on this)."""
     result, reference = _as_bool(result), _as_bool(reference)
     vol_ref = np.count_nonzero(reference)
     if vol_ref == 0:
         raise RuntimeError("reference is empty; ravd undefined")
-    return abs(np.count_nonzero(result) - vol_ref) / float(vol_ref)
+    return (np.count_nonzero(result) - vol_ref) / float(vol_ref)
 
 
 def _surface_distances(result, reference, voxelspacing=None) -> np.ndarray:

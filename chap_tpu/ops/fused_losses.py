@@ -78,11 +78,35 @@ def _pad_to(x: jnp.ndarray, n: int, axis: int, value=0):
     return jnp.pad(x, pad, constant_values=value)
 
 
+def _masked_seg_stats_xla(logits: jnp.ndarray, labels: jnp.ndarray,
+                          mask: jnp.ndarray):
+    """Pure-XLA twin of the Pallas kernel for non-TPU backends (identical
+    math; interpret-mode Pallas is far slower to compile and run on CPU)."""
+    c = logits.shape[-1]
+    flat = logits.reshape(-1, c).astype(jnp.float32)
+    lb = labels.reshape(-1)
+    mb = mask.reshape(-1).astype(jnp.float32)[:, None]
+    p = jax.nn.softmax(flat, axis=-1)
+    t = (lb[:, None] == jnp.arange(c)).astype(jnp.float32)
+    logp = jax.nn.log_softmax(flat, axis=-1)
+    inter = jnp.sum(p * t * mb, axis=0)
+    z = jnp.sum(p * p * mb, axis=0)
+    y = jnp.sum(t * mb, axis=0)
+    ce_sum = jnp.sum(-logp * t * mb)
+    return inter, z, y, ce_sum, jnp.sum(y)
+
+
 def masked_seg_stats(logits: jnp.ndarray, labels: jnp.ndarray,
                      mask: jnp.ndarray, interpret: bool | None = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                 jnp.ndarray, jnp.ndarray]:
-    """(I[C], Z[C], Y[C], ce_sum, mask_sum) for logits [..., C]."""
+    """(I[C], Z[C], Y[C], ce_sum, mask_sum) for logits [..., C].
+
+    interpret=None (default): Pallas kernel on TPU, pure-XLA twin elsewhere.
+    interpret=True: force the Pallas kernel in interpreter mode (kernel tests).
+    """
+    if interpret is None and jax.default_backend() != "tpu":
+        return _masked_seg_stats_xla(logits, labels, mask)
     c = logits.shape[-1]
     flat = logits.reshape(-1, c).astype(jnp.float32)
     n = flat.shape[0]
@@ -90,9 +114,6 @@ def masked_seg_stats(logits: jnp.ndarray, labels: jnp.ndarray,
     lg = _pad_to(flat, n_pad, 0).T                       # [C, Np] class-major
     lb = _pad_to(labels.reshape(1, -1).astype(jnp.int32), n_pad, 1)
     mk = _pad_to(mask.reshape(1, -1).astype(jnp.float32), n_pad, 1)
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
     grid = n_pad // LANES
     out = pl.pallas_call(
@@ -106,7 +127,7 @@ def masked_seg_stats(logits: jnp.ndarray, labels: jnp.ndarray,
         out_specs=pl.BlockSpec((c, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, 8), jnp.float32),
         scratch_shapes=[pltpu.VMEM((c, 8), jnp.float32)],
-        interpret=interpret,
+        interpret=bool(interpret),
     )(lg, lb, mk)
     y = out[:, 2]
     return out[:, 0], out[:, 1], y, jnp.sum(out[:, 3]), jnp.sum(y)

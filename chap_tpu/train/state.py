@@ -46,8 +46,11 @@ def create_train_state(model, rng: jax.Array, sample_input: jnp.ndarray,
                        optimizer: optax.GradientTransformation,
                        sim_chns: Tuple[int, ...] = (),
                        init_kwargs: Optional[dict] = None) -> TrainState:
-    variables = model.init({"params": rng}, sample_input, train=False,
-                           **(init_kwargs or {}))
+    # jit the whole init: one compiled program instead of one tiny XLA
+    # dispatch per initializer (matters on CPU and through the TPU tunnel)
+    init_fn = jax.jit(lambda r: model.init({"params": r}, sample_input,
+                                           train=False, **(init_kwargs or {})))
+    variables = init_fn(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     sim_scores = tuple(jnp.zeros((c,), jnp.float32) for c in sim_chns)

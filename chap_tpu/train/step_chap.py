@@ -6,9 +6,10 @@ supervision, gradient-similarity channel-dropout consistency, and VAT
 adversarial consistency — all traced into a single step function. The
 reference's eager multi-pass python (separate no_grad pass, extra
 forward+backward for GradSim, K VAT power-iteration passes, optimizer
-bookkeeping) collapses into one compiled graph per step; the only host
-round-trip is the batched largest-CC callback (matching the reference's own
-CPU NMS roundtrip, train_ours_2D.py:114-136).
+bookkeeping) collapses into one compiled graph per step with NO host
+round-trips at all — even the largest-CC NMS runs on-device
+(chap_tpu.semi.nms), where the reference syncs every step through the CPU
+(train_ours_2D.py:114-136).
 
 Semantics notes (reconstructed where the reference's utils.losses is missing):
   * VAT runs on the unlabeled half ``uimg_ab`` against the clean teacher soft
@@ -188,6 +189,11 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True):
 
         sim_scores = state.sim_scores
         if semi.dropout:
+            # separate pullback calls (NOT one vmapped batched backward): the
+            # labeled/unlabeled gradients are consumed only at the 5 encoder
+            # kernels (update_grad_sim), so XLA dead-code-eliminates every
+            # other weight-gradient kernel of these two backwards — a batched
+            # backward would have to compute all of them
             grads_l = pullback(jnp.array([0.0, 1.0, 0.0], vals.dtype))[0]
             grads_u = pullback(jnp.array([0.0, 0.0, 1.0], vals.dtype))[0]
             sim_scores = update_grad_sim(sim_scores, grads_l, grads_u)

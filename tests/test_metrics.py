@@ -48,10 +48,19 @@ def test_hd95_identical_zero():
     assert asd(a, a) == pytest.approx(0.0)
 
 
-def test_ravd():
-    a = square(32, 8, 24)          # 256
-    b = square(32, 8, 16)          # 64
-    assert ravd(b, a) == pytest.approx(abs(64 - 256) / 256)
+def test_ravd_signed():
+    """medpy.metric.binary.ravd is SIGNED: (vol_result - vol_ref)/vol_ref.
+    Under-segmentation is negative, over-segmentation positive, and the two
+    cancel when averaged (the reference averages per case,
+    test_3D_util.py:147-152)."""
+    a = square(32, 8, 24)          # 256 px
+    b = square(32, 8, 16)          # 64 px
+    assert ravd(b, a) == pytest.approx((64 - 256) / 256)   # under: negative
+    assert ravd(a, b) == pytest.approx((256 - 64) / 64)    # over: positive
+    assert ravd(a, a) == pytest.approx(0.0)
+    # symmetric over/under errors of equal volume cancel in the mean
+    c = square(32, 8, 20)          # 144 px
+    assert ravd(b, c) + ravd(a, c) == pytest.approx((64 + 256 - 2 * 144) / 144)
 
 
 def test_percase_empty_guard():
