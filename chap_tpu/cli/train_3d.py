@@ -34,6 +34,13 @@ def main():
     p.add_argument("--labeled_num", type=int, default=8)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--method", type=str, default="chap", choices=["chap", "cps"],
+                   help="chap = full method (BCP+NMS+dropout/GradSim+VAT); "
+                        "cps = plain cross-pseudo-supervision baseline")
+    p.add_argument("--adv_noise", action="store_true")
+    p.add_argument("--dropout", action="store_true")
+    p.add_argument("--comp_drop", action="store_true")
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--text", type=str, default="null")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args()
@@ -54,6 +61,12 @@ def main():
     if args.seed is not None:
         cfg.run.seed = args.seed
     cfg.run.exp = args.exp
+    if args.adv_noise:
+        cfg.semi.adv_noise = True
+    if args.dropout:
+        cfg.semi.dropout = True
+    if args.comp_drop:
+        cfg.semi.comp_drop = True
 
     snapshot_path = os.path.join(cfg.run.snapshot_root, args.dataset,
                                  f"{args.exp}_{args.labeled_num}_labeled")
@@ -65,7 +78,8 @@ def main():
     logging.info("%s", pprint.pformat(config_to_dict(cfg)))
 
     from chap_tpu.train.trainer_3d import train
-    result = train(cfg, save_dir, labeled_cases=args.labeled_num)
+    result = train(cfg, save_dir, labeled_cases=args.labeled_num,
+                   mode=args.method, resume=args.resume)
     logging.info("done: %s", result)
 
 

@@ -29,26 +29,34 @@ import jax
 import jax.numpy as jnp
 
 
-def _channel_dropout(rng: jax.Array, feat: jnp.ndarray, p: float = 0.5) -> jnp.ndarray:
-    """torch nn.Dropout2d: zero whole channels w.p. p, scale kept by 1/(1-p).
+def _mask_shape(feat_ndim: int, b: int, c: int) -> Tuple[int, ...]:
+    """Per-(sample, channel) mask shape broadcasting over all spatial dims."""
+    return (b,) + (1,) * (feat_ndim - 2) + (c,)
 
-    feat: [B, H, W, C].
+
+def _channel_dropout(rng: jax.Array, feat: jnp.ndarray, p: float = 0.5) -> jnp.ndarray:
+    """torch nn.Dropout2d/3d: zero whole channels w.p. p, scale kept by
+    1/(1-p).
+
+    feat: [B, *spatial, C] (2D or 3D).
     """
-    b, _, _, c = feat.shape
-    keep = jax.random.bernoulli(rng, 1.0 - p, (b, 1, 1, c)).astype(feat.dtype)
+    shape = _mask_shape(feat.ndim, feat.shape[0], feat.shape[-1])
+    keep = jax.random.bernoulli(rng, 1.0 - p, shape).astype(feat.dtype)
     return feat * keep / (1.0 - p)
 
 
-def _comp_binomial_masks(rng: jax.Array, b: int, c: int, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _comp_binomial_masks(rng: jax.Array, shape: Tuple[int, ...], dtype
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Complementary {0,2} channel masks (FilterDropout.py:61-68)."""
-    m1 = jax.random.bernoulli(rng, 0.5, (b, 1, 1, c)).astype(dtype) * 2.0
+    m1 = jax.random.bernoulli(rng, 0.5, shape).astype(dtype) * 2.0
     return m1, 2.0 - m1
 
 
-def _drop_based_on_prob(rng: jax.Array, drop_probs: jnp.ndarray, comp: bool
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _drop_based_on_prob(rng: jax.Array, drop_probs: jnp.ndarray, comp: bool,
+                        feat_ndim: int = 4) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bernoulli keep-masks from per-(sample,channel) drop probabilities with
-    numel/sum re-scaling (FilterDropout.py:140-159). drop_probs: [B, C]."""
+    numel/sum re-scaling (FilterDropout.py:140-159). drop_probs: [B, C];
+    returned masks broadcast over feat_ndim-2 spatial dims."""
     r_branch, r1, r2 = jax.random.split(rng, 3)
     if comp:
         # the reference picks mask1~keep/mask2~drop or the swap at random
@@ -63,12 +71,14 @@ def _drop_based_on_prob(rng: jax.Array, drop_probs: jnp.ndarray, comp: bool
     numel = float(mask1.size)
     mask1 = mask1 * numel / (jnp.sum(mask1) + 1e-8)
     mask2 = mask2 * numel / (jnp.sum(mask2) + 1e-8)
-    # [B, C] -> [B, 1, 1, C] for NHWC broadcast
-    return mask1[:, None, None, :], mask2[:, None, None, :]
+    # [B, C] -> [B, 1...1, C] for channel-last broadcast
+    shape = _mask_shape(feat_ndim, mask1.shape[0], mask1.shape[1])
+    return mask1.reshape(shape), mask2.reshape(shape)
 
 
 def scores_dropout_v2(rng: jax.Array, grad_sim: jnp.ndarray, activation: jnp.ndarray,
-                      comp: bool, kind: str = "sigmoid") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      comp: bool, kind: str = "sigmoid", feat_ndim: int = 4
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score-guided drop probabilities (FilterDropout.py:116-138).
 
     grad_sim: [C] per-channel gradient similarity; activation: [B, C] GAP of
@@ -84,7 +94,7 @@ def scores_dropout_v2(rng: jax.Array, grad_sim: jnp.ndarray, activation: jnp.nda
     else:  # sigmoid
         z = (scores - mean) / (sigma + 1e-8)
         probs = jax.nn.sigmoid(-z * 2.0)
-    return _drop_based_on_prob(rng, probs, comp)
+    return _drop_based_on_prob(rng, probs, comp, feat_ndim)
 
 
 def perform_dropout(rng: jax.Array,
@@ -95,8 +105,9 @@ def perform_dropout(rng: jax.Array,
                     ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """Produce two perturbed feature pyramids for the two decoders.
 
-    features: encoder pyramid, each [B, H, W, C] with batch = [labeled ;
-    unlabeled] halves (labeled_bs = B // 2). Returns (pyramid1, pyramid2).
+    features: encoder pyramid, each [B, *spatial, C] (2D or 3D) with batch =
+    [labeled ; unlabeled] halves (labeled_bs = B // 2). Returns
+    (pyramid1, pyramid2).
     """
     feature_fp1: List[jnp.ndarray] = []
     feature_fp2: List[jnp.ndarray] = []
@@ -106,20 +117,23 @@ def perform_dropout(rng: jax.Array,
         labeled_bs = b // 2
         lab_feat = feat[:labeled_bs]
         unlab_feat = feat[labeled_bs:]
+        spatial_axes = tuple(range(1, feat.ndim - 1))
         if idx in level:
             rng, r1, r2 = jax.random.split(jax.random.fold_in(rng, idx), 3)
             score_vec = None if scores is None else scores[idx]
             if score_vec is None:
                 if comp_drop:
-                    m1, m2 = _comp_binomial_masks(r1, b - labeled_bs, c, feat.dtype)
+                    m1, m2 = _comp_binomial_masks(
+                        r1, _mask_shape(feat.ndim, b - labeled_bs, c), feat.dtype)
                     p1, p2 = unlab_feat * m1, unlab_feat * m2
                 else:
                     p1 = _channel_dropout(r1, unlab_feat)
                     p2 = _channel_dropout(r2, unlab_feat)
             else:
-                activation = jnp.mean(unlab_feat, axis=(1, 2))  # GAP -> [B_u, C]
+                activation = jnp.mean(unlab_feat, axis=spatial_axes)  # GAP -> [B_u, C]
                 activation = jax.lax.stop_gradient(activation)
-                m1, m2 = scores_dropout_v2(r1, score_vec, activation, comp_drop)
+                m1, m2 = scores_dropout_v2(r1, score_vec, activation, comp_drop,
+                                           feat_ndim=feat.ndim)
                 m1 = m1.astype(feat.dtype)
                 m2 = m2.astype(feat.dtype)
                 p1, p2 = unlab_feat * m1, unlab_feat * m2

@@ -320,7 +320,16 @@ class VNet(nn.Module):
 
 
 class DualDecoder3d(nn.Module):
-    """Shared encoder, decoder1 trilinear / decoder2 deconv (vnet.py:225-238)."""
+    """Shared encoder, decoder1 trilinear / decoder2 deconv (vnet.py:225-238).
+
+    Extended forward mirrors the 2D CHAP model (unet.py:277-292 semantics):
+    with ``dropout_level`` given, the encoder pyramid is split into two
+    channel-perturbed copies (chap_tpu.models.perturb, rank-generic over
+    [B,D,H,W,C]) before the two decodes. Needs rng collection 'perturb' in
+    that mode. When the s2d stem is active, the full-resolution skip x1 is
+    perturbed through its [...,8,C] phase view so masks/scores act on
+    ORIGINAL channels, identically to the plain layout.
+    """
     num_classes: int = 2
     n_filters: int = 16
     normalization: str = "none"
@@ -338,6 +347,23 @@ class DualDecoder3d(nn.Module):
         self.decoder2 = VDecoder(self.num_classes, self.n_filters, self.normalization,
                                  self.has_dropout, self.has_residual, 0, self.dtype)
 
-    def __call__(self, x: jnp.ndarray, *, train: bool = False):
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 dropout_level=None, scores=None, comp_dropout: bool = False):
         features = self.encoder(x, train=train)
-        return self.decoder1(features, train=train), self.decoder2(features, train=train)
+        if dropout_level is None:
+            return (self.decoder1(features, train=train),
+                    self.decoder2(features, train=train))
+
+        from chap_tpu.models.perturb import perform_dropout
+        from chap_tpu.ops.s2d import phase_view
+
+        x1_s2d = features[0].shape[-1] == 8 * self.n_filters
+        if x1_s2d:
+            features = [phase_view(features[0])] + list(features[1:])
+        rng = self.make_rng("perturb")
+        f1, f2 = perform_dropout(rng, features, dropout_level, scores,
+                                 comp_dropout)
+        if x1_s2d:
+            f1[0] = f1[0].reshape(f1[0].shape[:-2] + (8 * self.n_filters,))
+            f2[0] = f2[0].reshape(f2[0].shape[:-2] + (8 * self.n_filters,))
+        return self.decoder1(f1, train=train), self.decoder2(f2, train=train)

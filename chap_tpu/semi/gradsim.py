@@ -30,6 +30,18 @@ ENCODER_LEVEL_PATHS = (
     ("encoder", "down4", "ConvBlock_0", "Conv_1"),
 )
 
+# VNet 3D encoder (chap_tpu.models.vnet3d.VEncoder): the final conv kernel of
+# each scale's ConvBlock3d, stages (1,2,3,3,3). The s2d stem names its convs
+# identically ("Conv_0", param "kernel") with the SAME kernel shape, so these
+# paths are s2d-invariant.
+VNET_LEVEL_PATHS = (
+    ("encoder", "block_one", "Conv_0"),
+    ("encoder", "block_two", "Conv_1"),
+    ("encoder", "block_three", "Conv_2"),
+    ("encoder", "block_four", "Conv_2"),
+    ("encoder", "block_five", "Conv_2"),
+)
+
 
 def init_sim_scores(feature_chns: Sequence[int]) -> GradSimState:
     """All-zero init — the perturbation engine falls back to plain channel
@@ -44,19 +56,23 @@ def _get_path(tree: Dict[str, Any], path: Tuple[str, ...]) -> jnp.ndarray:
     return node["kernel"]
 
 
-def level_kernel_grads(param_grads: Dict[str, Any]) -> List[jnp.ndarray]:
+def level_kernel_grads(param_grads: Dict[str, Any],
+                       paths: Sequence[Tuple[str, ...]] = ENCODER_LEVEL_PATHS
+                       ) -> List[jnp.ndarray]:
     """Extract the 5 encoder level kernels' gradients from a param pytree."""
-    return [_get_path(param_grads, p) for p in ENCODER_LEVEL_PATHS]
+    return [_get_path(param_grads, p) for p in paths]
 
 
 def update_grad_sim(state: GradSimState, grads_l: Dict[str, Any],
-                    grads_u: Dict[str, Any], decay: float = 0.9) -> GradSimState:
+                    grads_u: Dict[str, Any], decay: float = 0.9,
+                    paths: Sequence[Tuple[str, ...]] = ENCODER_LEVEL_PATHS
+                    ) -> GradSimState:
     """EMA-update per-level per-channel cosine(g_labeled, g_unlabeled)."""
-    kl = level_kernel_grads(grads_l)
-    ku = level_kernel_grads(grads_u)
+    kl = level_kernel_grads(grads_l, paths)
+    ku = level_kernel_grads(grads_u, paths)
     new_state = []
     for old, gl, gu in zip(state, kl, ku):
-        # kernel [kh,kw,cin,cout] -> per-out-channel flattened vectors
+        # kernel [*k, cin, cout] -> per-out-channel flattened vectors
         a = gl.reshape(-1, gl.shape[-1])
         b = gu.reshape(-1, gu.shape[-1])
         na = jnp.linalg.norm(a, axis=0)

@@ -45,21 +45,23 @@ def _largest_cc_host(segmentation: np.ndarray, num_classes: int) -> np.ndarray:
 
 
 def _propagate_max(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """One 8-neighbourhood max-propagation step restricted to the mask.
+    """One full-connectivity (3^ndim window) max-propagation step restricted
+    to the mask.
 
-    labels: [B,H,W] int32 (-1 outside mask); mask: [B,H,W] bool.
+    labels: [B, *spatial] int32 (-1 outside mask); mask: same-shape bool.
     """
+    window = (1,) + (3,) * (labels.ndim - 1)
     neigh = jax.lax.reduce_window(
         labels, jnp.int32(-1), jax.lax.max,
-        window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
+        window_dimensions=window, window_strides=(1,) * labels.ndim,
         padding="SAME")
     return jnp.where(mask, jnp.maximum(labels, neigh), -1)
 
 
 def _label_mask_batch(mask: jnp.ndarray, props_per_round: int = 8,
                       rounds_per_jump: int = 32) -> jnp.ndarray:
-    """Connected-component labels of a [B,H,W] bool mask: each component gets
-    the max linear index it contains; background = -1.
+    """Connected-component labels of a [B, *spatial] bool mask: each component
+    gets the max linear index it contains; background = -1.
 
     Max-propagation (8-neighbourhood reduce_window) is nearly free on the VPU
     (~0.5 ms for 72x256x256), so the while loop runs blocks of
@@ -70,8 +72,10 @@ def _label_mask_batch(mask: jnp.ndarray, props_per_round: int = 8,
     hatch every `rounds_per_jump` rounds, bounding pathological serpentine
     components to O(log diameter) jumps.
     """
-    b, h, w = mask.shape
-    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w)
+    b = mask.shape[0]
+    spatial = mask.shape[1:]
+    n = int(np.prod(spatial))
+    idx = jnp.arange(n, dtype=jnp.int32).reshape((1,) + spatial)
     labels = jnp.where(mask, jnp.broadcast_to(idx, mask.shape), -1)
 
     def cond(carry):
@@ -79,9 +83,9 @@ def _label_mask_batch(mask: jnp.ndarray, props_per_round: int = 8,
         return jnp.any(labels != prev)
 
     def jump(new):
-        flat = new.reshape(b, h * w)
+        flat = new.reshape(b, n)
         jumped = jnp.take_along_axis(flat, jnp.maximum(flat, 0), axis=1)
-        return jnp.where(flat >= 0, jumped, -1).reshape(b, h, w)
+        return jnp.where(flat >= 0, jumped, -1).reshape(mask.shape)
 
     def body(carry):
         labels, _, it = carry
@@ -134,21 +138,23 @@ def _component_sizes_matmul(flat: jnp.ndarray, num_ids: int,
 
 
 def largest_cc_mask(mask: jnp.ndarray) -> jnp.ndarray:
-    """[B,H,W] bool -> bool mask of each sample's largest component."""
-    b, h, w = mask.shape
+    """[B, *spatial] bool -> bool mask of each sample's largest component."""
+    b = mask.shape[0]
+    n = int(np.prod(mask.shape[1:]))
     labels = _label_mask_batch(mask)
-    flat = labels.reshape(b, h * w)
-    sizes = _component_sizes_matmul(flat, h * w)
+    flat = labels.reshape(b, n)
+    sizes = _component_sizes_matmul(flat, n)
     largest_id = jnp.argmax(sizes, axis=1)
     keep = flat == largest_id[:, None]
-    return keep.reshape(b, h, w) & mask
+    return keep.reshape(mask.shape) & mask
 
 
 def largest_cc_batch(segmentation: jnp.ndarray, num_classes: int) -> jnp.ndarray:
-    """Jit-safe per-class largest-CC cleanup of [B,H,W] integer label maps.
+    """Jit-safe per-class largest-CC cleanup of [B, *spatial] integer label
+    maps (2D slices or 3D volumes).
 
-    All foreground classes are stacked into one [(C-1)*B, H, W] mask batch so
-    a SINGLE label-propagation while_loop covers every (class, sample) pair.
+    All foreground classes are stacked into one [(C-1)*B, *spatial] mask batch
+    so a SINGLE label-propagation while_loop covers every (class, sample) pair.
     """
     b = segmentation.shape[0]
     masks = jnp.concatenate([segmentation == c for c in range(1, num_classes)])

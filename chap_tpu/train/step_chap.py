@@ -30,8 +30,8 @@ from chap_tpu.config import Config
 from chap_tpu.losses.ce import cross_entropy, cross_entropy_per_pixel
 from chap_tpu.losses.mix import mix_loss
 from chap_tpu.losses.vat import vat_loss_2d
-from chap_tpu.semi.bcp import generate_mask, mix_images
-from chap_tpu.semi.gradsim import update_grad_sim
+from chap_tpu.semi.bcp import generate_mask_nd, mix_images
+from chap_tpu.semi.gradsim import ENCODER_LEVEL_PATHS, update_grad_sim
 from chap_tpu.semi.nms import largest_cc_batch
 from chap_tpu.semi.patchmask import create_mask_v1
 from chap_tpu.train.state import TrainState
@@ -43,11 +43,19 @@ class StepOutput(NamedTuple):
     metrics: Dict[str, jnp.ndarray]
 
 
-def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True):
+def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
+                          level_paths=ENCODER_LEVEL_PATHS):
     """Returns step(state, batch, rng) -> StepOutput, jit-compiled.
 
-    batch: {'image': [B,H,W,1] float, 'label': [B,H,W] int} with the
-    two-stream layout [labeled_bs labeled ; B-labeled_bs unlabeled].
+    batch: {'image': [B, *spatial, 1] float, 'label': [B, *spatial] int} with
+    the two-stream layout [labeled_bs labeled ; B-labeled_bs unlabeled].
+    Rank-generic: [B,H,W,1] for the 2D trainer, [B,D,H,W,1] for the 3D one
+    (every semi primitive — BCP mask, top-k patch mask, on-device largest-CC,
+    VAT, channel perturbation — is rank-generic).
+
+    level_paths: param-tree paths of the per-level encoder kernels for
+    GradSim (ENCODER_LEVEL_PATHS for the 2D UNet family, VNET_LEVEL_PATHS for
+    the VNet 3D family).
     """
     num_classes = cfg.data.num_classes
     labeled_bs = cfg.data.labeled_bs
@@ -113,9 +121,9 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True):
         plab_b2 = pseudo_all[3 * sub_bs:]
 
         # ---- BCP mixing ----------------------------------------------------
-        h, w = image.shape[1], image.shape[2]
-        img_mask = generate_mask(r_mask, h, w)               # [H,W] {0,1}
-        loss_mask = jnp.broadcast_to(img_mask[None], (sub_bs, h, w))
+        spatial = image.shape[1:-1]
+        img_mask = generate_mask_nd(r_mask, spatial)         # [*spatial] {0,1}
+        loss_mask = jnp.broadcast_to(img_mask[None], (sub_bs, *spatial))
         net_input_unl = mix_images(uimg_a, img_a, img_mask)
         net_input_l = mix_images(img_b, uimg_b, img_mask)
         net_input_mix = jnp.concatenate([net_input_l, net_input_unl])
@@ -196,7 +204,8 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True):
             # backward would have to compute all of them
             grads_l = pullback(jnp.array([0.0, 1.0, 0.0], vals.dtype))[0]
             grads_u = pullback(jnp.array([0.0, 0.0, 1.0], vals.dtype))[0]
-            sim_scores = update_grad_sim(sim_scores, grads_l, grads_u)
+            sim_scores = update_grad_sim(sim_scores, grads_l, grads_u,
+                                         paths=level_paths)
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)

@@ -1,12 +1,17 @@
 """3D semi-supervised training (BASELINE.json configs #4/#5: LA / Pancreas /
 BraTS). The reference snapshot ships only 3D models + test CLIs (SURVEY.md
-§0); this trainer completes the path: DualDecoder3d cross-pseudo-supervision
-over two-stream 3D patch batches (the UA-MT/MC-Net family recipe its models
-exist for), evaluated with the batched sliding-window engine.
+§0); this trainer completes the path with the FULL CHAP method in 3D:
+the rank-generic CHAP step (chap_tpu.train.step_chap — teacher pass +
+on-device largest-CC NMS + cuboid BCP mixing + channel-dropout/GradSim
+consistency + VAT) over two-stream 3D patch batches, mesh-sharded and
+device-prefetched like the 2D trainer, evaluated with the batched
+sliding-window engine. A plain cross-pseudo-supervision step (mode="cps")
+is kept as the lightweight ablation baseline.
 """
 from __future__ import annotations
 
 import logging
+import time
 from typing import Dict, Optional
 
 import jax
@@ -15,15 +20,17 @@ import numpy as np
 
 from chap_tpu.config import Config
 from chap_tpu.data.datasets import SyntheticVolumeDataset, Volume3dDataset
-from chap_tpu.data.pipeline import BatchLoader
+from chap_tpu.data.pipeline import BatchLoader, prefetch_to_device
 from chap_tpu.data.sampler import TwoStreamBatchSampler
 from chap_tpu.data.transforms3d import RandomGenerator3D
 from chap_tpu.eval.sliding_window import test_all_case
 from chap_tpu.losses.ce import cross_entropy_per_pixel
 from chap_tpu.losses.dice import dice_ce_supervised
 from chap_tpu.models import net_factory_3d
+from chap_tpu.parallel.mesh import MeshSpec, batch_sharding, build_mesh, replicate
+from chap_tpu.semi.gradsim import VNET_LEVEL_PATHS
 from chap_tpu.train.state import TrainState, create_train_state, make_optimizer
-from chap_tpu.train.step_chap import StepOutput
+from chap_tpu.train.step_chap import StepOutput, build_chap_train_step
 from chap_tpu.utils.checkpoint import CheckpointManager
 from chap_tpu.utils.metrics_writer import MetricsWriter
 from chap_tpu.utils.ramps import sigmoid_rampup
@@ -90,18 +97,46 @@ def build_cps3d_train_step(model, optimizer, cfg: Config):
 
 
 def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
-          labeled_cases: int = 8) -> dict:
+          labeled_cases: int = 8, mode: str = "chap",
+          resume: bool = False) -> dict:
+    """mode: "chap" = full CHAP method (BCP+NMS+dropout/GradSim+VAT),
+    "cps" = plain cross-pseudo-supervision baseline."""
     patch = tuple(cfg.data.patch_size_3d)
     rng = jax.random.PRNGKey(cfg.run.seed)
+    nf = cfg.model.n_filters_3d
+
+    mesh = build_mesh(cfg.parallel.num_devices,
+                      MeshSpec(dcn_size=cfg.parallel.dcn_axis_size))
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    assert cfg.data.batch_size % n_dev == 0, \
+        f"global batch {cfg.data.batch_size} must divide over {n_dev} devices"
 
     model = net_factory_3d("dualdecoder", cfg.data.in_chns, cfg.data.num_classes,
                            mode="train", cfg=cfg.model)
-    optimizer = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations)
-    sample = jnp.zeros((cfg.data.batch_size, *patch, 1))
+    optimizer = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations,
+                               cfg.optim.momentum, cfg.optim.weight_decay,
+                               cfg.optim.poly_power)
+    sample = jnp.zeros((cfg.data.batch_size, *patch, cfg.data.in_chns))
     rng, init_rng = jax.random.split(rng)
-    state = create_train_state(model, init_rng, sample, optimizer)
+    sim_chns = tuple(nf * m for m in (1, 2, 4, 8, 16)) if mode == "chap" else ()
+    state = create_train_state(model, init_rng, sample, optimizer,
+                               sim_chns=sim_chns)
+    state = replicate(mesh, state)
 
-    step_fn = build_cps3d_train_step(model, optimizer, cfg)
+    ckpt = CheckpointManager(snapshot_path)
+    if resume:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state = replicate(mesh, restored)
+            logging.info("resumed from step %d", int(state.step))
+
+    if mode == "chap":
+        step_fn = build_chap_train_step(model, optimizer, cfg, use_nms=True,
+                                        level_paths=VNET_LEVEL_PATHS)
+    elif mode == "cps":
+        step_fn = build_cps3d_train_step(model, optimizer, cfg)
+    else:
+        raise ValueError(f"unknown 3D trainer mode {mode!r}")
 
     if cfg.data.dataset == "synthetic":
         volumes = [
@@ -121,28 +156,35 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
     dataset = _PatchDataset(volumes, transform, epoch_len)
 
     writer = MetricsWriter(snapshot_path)
-    ckpt = CheckpointManager(snapshot_path)
     max_iterations = max_steps or cfg.optim.max_iterations
     best = 0.0
-    iter_num = 0
     labeled_idx = list(range(min(labeled_cases * 4, epoch_len // 2)))
     unlabeled_idx = list(range(len(labeled_idx), epoch_len))
 
+    data_sharding = batch_sharding(mesh, 5)
+    label_sharding = batch_sharding(mesh, 4)
+
+    def shard(batch):
+        return {"image": jax.device_put(batch["image"], data_sharding),
+                "label": jax.device_put(batch["label"], label_sharding)}
+
+    iter_num = int(state.step)
+    t_start = time.time()
     while iter_num < max_iterations:
         sampler = TwoStreamBatchSampler(labeled_idx, unlabeled_idx,
                                         cfg.data.batch_size,
                                         cfg.data.batch_size - cfg.data.labeled_bs,
                                         seed=cfg.run.seed + iter_num)
         loader = BatchLoader(dataset, sampler, cfg.data.num_workers)
-        for batch in loader:
-            batch = {"image": jnp.asarray(batch["image"]),
-                     "label": jnp.asarray(batch["label"])}
+        for batch in prefetch_to_device(loader, size=2, transform=shard):
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng)
             iter_num += 1
             if iter_num % cfg.run.log_every == 0:
-                writer.write(iter_num, {k: float(v) for k, v in metrics.items()})
-                logging.info("iter %d loss %.4f", iter_num, float(metrics["loss"]))
+                scalars = {k: float(v) for k, v in metrics.items()}
+                scalars["steps_per_sec"] = iter_num / (time.time() - t_start)
+                writer.write(iter_num, scalars)
+                logging.info("iter %d loss %.4f", iter_num, scalars["loss"])
             if val_ds is not None and iter_num % cfg.eval.eval_every == 0:
                 variables = {"params": state.params, "batch_stats": state.batch_stats}
                 m = test_all_case(model, variables, val_ds, cfg.data.num_classes,
@@ -154,9 +196,15 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
                 if dice > best or not ckpt.has("best"):
                     best = dice
                     ckpt.save_best(jax.device_get(state))
+                    writer.append_csv(
+                        f"{snapshot_path}/val.csv",
+                        {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+                         "iteration": iter_num,
+                         "val_acc": round(best, 4)})
+            elif iter_num % cfg.run.checkpoint_every == 0:
+                ckpt.save_latest(jax.device_get(state))
             if iter_num >= max_iterations:
                 break
-    if val_ds is None:
-        ckpt.save_latest(jax.device_get(state))
+    ckpt.save_latest(jax.device_get(state))
     writer.close()
     return {"best_dice": best, "steps": iter_num}

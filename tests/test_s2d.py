@@ -101,7 +101,20 @@ def test_dualdecoder3d_s2d_stem_equals_plain():
     np.testing.assert_allclose(np.asarray(o2f), np.asarray(o2p), atol=5e-4)
 
 
-# NB: no odd-spatial-dims test — a 5-scale VNet needs /16-divisible dims in
-# the PLAIN path too (stride-2 VALID downs hit zero-size tensors otherwise),
-# and every protocol patch (112,112,80)/(96,96,96) is even. The evenness
-# guard in VEncoder is defensive only.
+def test_s2d_stem_falls_back_on_odd_dims():
+    """The s2d gate is trace-time (vnet3d.VEncoder): odd spatial dims route
+    through the plain stem with the SAME params and identical outputs.
+
+    Full VNet forward needs matched up/skip sizes so odd dims are unusable in
+    EITHER path; the gate is therefore exercised at the encoder level, where
+    odd dims survive the stride-2 VALID downs (17 -> 8 -> ...)."""
+    from chap_tpu.models.vnet3d import VEncoder
+    x = jnp.asarray(RNG.randn(1, 17, 16, 15, 1), jnp.float32)
+    plain = VEncoder(normalization="batchnorm", s2d_stem=False)
+    fast = VEncoder(normalization="batchnorm", s2d_stem=True)
+    vs = plain.init(jax.random.PRNGKey(0), x, train=False)
+    feats_p = plain.apply(vs, x, train=False)
+    feats_f = fast.apply(vs, x, train=False)  # gate falls back -> same tree
+    assert [f.shape for f in feats_f] == [f.shape for f in feats_p]
+    for a, b in zip(feats_f, feats_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

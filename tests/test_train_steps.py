@@ -107,3 +107,60 @@ def test_ablation_step_full_branches():
     assert np.isfinite(float(metrics["loss"]))
     assert 0.0 <= float(metrics["disagreement_ratio"]) <= 1.0
     assert float(metrics["fp_loss"]) > 0.0
+
+
+def small_cfg_3d(**semi_overrides):
+    cfg = Config()
+    cfg.data.num_classes = 2
+    cfg.data.batch_size = 4
+    cfg.data.labeled_bs = 2
+    cfg.data.patch_size_3d = (16, 16, 16)
+    cfg.model.n_filters_3d = 4
+    cfg.optim.max_iterations = 100
+    cfg.optim.remat = False
+    for k, v in semi_overrides.items():
+        setattr(cfg.semi, k, v)
+    return cfg
+
+
+def make_batch_3d(cfg, seed=0):
+    rng = np.random.RandomState(seed)
+    b = cfg.data.batch_size
+    d, h, w = cfg.data.patch_size_3d
+    label = np.zeros((b, d, h, w), np.int32)
+    label[:, 4:12, 4:12, 4:12] = 1
+    image = label / 2.0 + rng.normal(0, 0.1, (b, d, h, w))
+    return {"image": jnp.asarray(image[..., None], jnp.float32),
+            "label": jnp.asarray(label)}
+
+
+def build_3d(cfg):
+    from chap_tpu.models import net_factory_3d
+    model = net_factory_3d("dualdecoder", 1, cfg.data.num_classes,
+                           mode="train", cfg=cfg.model)
+    opt = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations)
+    sample = jnp.zeros((cfg.data.batch_size, *cfg.data.patch_size_3d, 1))
+    nf = cfg.model.n_filters_3d
+    state = create_train_state(model, jax.random.PRNGKey(0), sample, opt,
+                               sim_chns=tuple(nf * m for m in (1, 2, 4, 8, 16)))
+    return model, opt, state
+
+
+def test_chap_step_3d_full_branches():
+    """The full CHAP method in 3D: cuboid BCP + on-device 3D largest-CC NMS +
+    channel-dropout/GradSim + VAT, one jitted step (VERDICT r1 item 3)."""
+    from chap_tpu.semi.gradsim import VNET_LEVEL_PATHS
+    cfg = small_cfg_3d(adv_noise=True, dropout=True, comp_drop=True)
+    model, opt, state = build_3d(cfg)
+    step = build_chap_train_step(model, opt, cfg, use_nms=True,
+                                 level_paths=VNET_LEVEL_PATHS)
+    batch = make_batch_3d(cfg)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["fp_loss"]) > 0.0
+    assert float(metrics["vat_loss"]) >= 0.0
+    # GradSim scores updated away from zero init for every VNet level
+    assert all(float(jnp.abs(s).max()) > 0 for s in state.sim_scores)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state.step) == 2
+    assert np.isfinite(float(metrics["loss"]))
