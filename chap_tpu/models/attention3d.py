@@ -26,15 +26,26 @@ def _resize_trilinear(x: jnp.ndarray, size: Tuple[int, int, int]) -> jnp.ndarray
 
 
 class GridAttentionBlock3D(nn.Module):
-    """'concatenation' grid attention (grid_attention_layer.py:84-159):
-    theta(x) strided to the attention grid, phi(g) resized onto it, additive
-    ReLU fusion, psi -> sigmoid gate resized back onto x, output 1x1 conv+BN."""
+    """Grid attention (grid_attention_layer.py:84-159): theta(x) strided to
+    the attention grid, phi(g) resized onto it, additive fusion, psi -> gate
+    resized back onto x, output 1x1 conv+BN.
+
+    ``mode`` selects the gate nonlinearity like the reference's
+    operation_function dispatch (grid_attention_layer.py:57-65):
+      concatenation          ReLU fusion, sigmoid gate        (:84-107)
+      concatenation_debug    softplus fusion, sigmoid gate    (:109-132)
+      concatenation_residual ReLU fusion, softmax-over-space  (:135-159)
+    """
     inter_channels: int
     sub_sample_factor: Tuple[int, int, int] = (2, 2, 2)
+    mode: str = "concatenation"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: jnp.ndarray, *, train: bool):
+        if self.mode not in ("concatenation", "concatenation_debug",
+                             "concatenation_residual"):
+            raise ValueError(f"unknown grid-attention mode {self.mode!r}")
         in_channels = x.shape[-1]
         ssf = self.sub_sample_factor
         theta_x = nn.Conv(self.inter_channels, ssf, strides=ssf, use_bias=False,
@@ -42,14 +53,105 @@ class GridAttentionBlock3D(nn.Module):
         phi_g = nn.Conv(self.inter_channels, (1, 1, 1), dtype=self.dtype,
                         name="phi")(g)
         phi_g = _resize_trilinear(phi_g, theta_x.shape[1:4])
-        f = nn.relu(theta_x + phi_g)
+        fuse = nn.softplus if self.mode == "concatenation_debug" else nn.relu
+        f = fuse(theta_x + phi_g)
         psi = nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="psi")(f)
-        gate = jax.nn.sigmoid(psi)
+        if self.mode == "concatenation_residual":
+            b = psi.shape[0]
+            gate = jax.nn.softmax(psi.reshape(b, -1), axis=1).reshape(psi.shape)
+        else:
+            gate = jax.nn.sigmoid(psi)
         gate = _resize_trilinear(gate, x.shape[1:4])
         y = x * gate
         w_y = nn.Conv(in_channels, (1, 1, 1), dtype=self.dtype, name="W")(y)
         w_y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            dtype=self.dtype)(w_y)
+        return w_y, gate
+
+
+class GridAttentionBlockTORR(nn.Module):
+    """The _TORR grid-attention family (grid_attention_layer.py:183-381),
+    rank-generic (2D or 3D from the input rank). Differences from the plain
+    block: phi is STRIDED like theta (:243-245), convs are unpadded
+    (:239-249), any of W/theta/phi/psi can be toggled to identity
+    (:222-227,252-258), psi's bias initializes to 3.0 (sigmoid mode) or 10.0
+    (softmax mode) (:265-269), and the gate normalization over flattened
+    space comes in five flavors (:318-348). The reference's plain
+    'concatenation' mode raises NotImplementedError in this class (:347-348),
+    so it is rejected here too."""
+    inter_channels: int
+    mode: str = "concatenation_softmax"
+    sub_sample_factor: Tuple[int, ...] = (1, 1, 1)
+    bn_layer: bool = True
+    use_w: bool = True
+    use_phi: bool = True
+    use_theta: bool = True
+    use_psi: bool = True
+    nonlinearity1: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, g: jnp.ndarray, *, train: bool):
+        modes = ("concatenation_softmax", "concatenation_sigmoid",
+                 "concatenation_mean", "concatenation_mean_flow",
+                 "concatenation_range_normalise")
+        if self.mode not in modes:
+            raise ValueError(f"unsupported TORR mode {self.mode!r} "
+                             f"(reference supports only {modes})")
+        n_sp = x.ndim - 2
+        ssf = tuple(self.sub_sample_factor)[:n_sp] or (1,) * n_sp
+        in_channels = x.shape[-1]
+
+        theta_x = nn.Conv(self.inter_channels, ssf, strides=ssf, padding=0,
+                          use_bias=False, dtype=self.dtype, name="theta")(x) \
+            if self.use_theta else x
+        phi_g = nn.Conv(self.inter_channels, ssf, strides=ssf, padding=0,
+                        use_bias=False, dtype=self.dtype, name="phi")(g) \
+            if self.use_phi else g
+        if phi_g.shape[1:-1] != theta_x.shape[1:-1]:
+            phi_g = jax.image.resize(
+                phi_g, theta_x.shape[:1] + theta_x.shape[1:-1] + phi_g.shape[-1:],
+                method="linear")
+        f = theta_x + phi_g
+        if self.nonlinearity1 == "relu":
+            f = nn.relu(f)
+
+        if self.use_psi:
+            bias_init = {"concatenation_sigmoid": 3.0,
+                         "concatenation_softmax": 10.0}.get(self.mode, 0.0)
+            psi_f = nn.Conv(1, (1,) * n_sp, dtype=self.dtype, name="psi",
+                            bias_init=nn.initializers.constant(bias_init))(f)
+        else:
+            psi_f = f
+
+        b = psi_f.shape[0]
+        flat = psi_f.reshape(b, -1)
+        if self.mode == "concatenation_softmax":
+            gate = jax.nn.softmax(flat, axis=1)
+        elif self.mode == "concatenation_mean":
+            gate = flat / jnp.sum(flat, axis=1, keepdims=True)
+        elif self.mode == "concatenation_mean_flow":
+            shifted = flat - jnp.min(flat, axis=1, keepdims=True)
+            gate = shifted / jnp.sum(shifted, axis=1, keepdims=True)
+        elif self.mode == "concatenation_range_normalise":
+            lo = jnp.min(flat, axis=1, keepdims=True)
+            hi = jnp.max(flat, axis=1, keepdims=True)
+            gate = (flat - lo) / (hi - lo)
+        else:  # concatenation_sigmoid
+            gate = jax.nn.sigmoid(flat)
+        gate = gate.reshape(psi_f.shape[:-1] + (1,))
+        gate = jax.image.resize(
+            gate, x.shape[:1] + x.shape[1:-1] + (1,), method="linear")
+
+        y = x * gate
+        if self.use_w:
+            w_y = nn.Conv(in_channels, (1,) * n_sp, dtype=self.dtype,
+                          name="W")(y)
+            if self.bn_layer:
+                w_y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                   dtype=self.dtype)(w_y)
+        else:
+            w_y = y
         return w_y, gate
 
 

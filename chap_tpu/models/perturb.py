@@ -144,6 +144,41 @@ def perform_dropout(rng: jax.Array,
     return feature_fp1, feature_fp2
 
 
+def mask_selection(rng: jax.Array, scores: jnp.ndarray, percent: float,
+                   wrs: bool = True) -> jnp.ndarray:
+    """Repaired FilterDropout.mask_selection (FilterDropout.py:7-35): select
+    `percent` of channels to DROP, either the top-scored ones (wrs=False) or
+    by weighted random sampling (wrs=True, Efraimidis-Spirakis keys
+    r**(1/score) on min-max-normalized scores). Returns a {0,1} keep-mask.
+
+    The reference body references undefined `batch_size`/`threshold_expand`
+    (its :18,32 latent bugs); this is the shape-consistent reading: scores
+    [C] or [B,C] -> mask of the same shape, 0 = dropped.
+    """
+    squeeze = scores.ndim == 1
+    s = scores[None] if squeeze else scores
+    b, c = s.shape
+    drop_num = int(c * percent)
+    if wrs:
+        lo = jnp.min(s, axis=1, keepdims=True)
+        hi = jnp.max(s, axis=1, keepdims=True)
+        norm = (s - lo) / jnp.maximum(hi - lo, 1e-8)
+        r = jax.random.uniform(rng, s.shape, minval=1e-8, maxval=1.0)
+        key = r ** (1.0 / jnp.maximum(norm, 1e-8))
+    else:
+        key = s
+    thr = jnp.sort(key, axis=1)[:, ::-1][:, drop_num][:, None]
+    dropped = (key > thr).astype(jnp.float32)
+    keep = 1.0 - dropped
+    return keep[0] if squeeze else keep
+
+
+def filter_dropout_channel(rng: jax.Array, scores: jnp.ndarray, percent: float,
+                           wrs: bool = True) -> jnp.ndarray:
+    """FilterDropout.filter_dropout_channel (:37-42): thin wrapper."""
+    return mask_selection(rng, scores, percent, wrs)
+
+
 def feature_dropout(rng: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
     """Attention-guided spatial dropout (unet.py:472-480): drop pixels whose
     channel-mean attention exceeds a random 0.7-0.9 fraction of the max."""

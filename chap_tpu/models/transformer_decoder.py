@@ -175,6 +175,102 @@ class MaskTransformerDecoder(nn.Module):
         return seg_maps, attn_maps
 
 
+class MlpHead(nn.Module):
+    """3-layer ReLU MLP (mask2former...py MLP, used by mask_embed :590)."""
+    hidden: int
+    out: int
+    num_layers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers - 1):
+            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        return nn.Dense(self.out, dtype=self.dtype)(x)
+
+
+class MaskTransformerDecoderV1(nn.Module):
+    """MyTransformerDecoderV1 equivalent (mask2former...py:466-713) — the
+    middle of the reference's three decoder variants. Differences from
+    MaskTransformerDecoder:
+
+      * cross-attention is SINGLE-head (MyCrossAttentionLayer nhead=1, :536)
+      * layer i reads feature level i DIRECTLY (level_index = i, :635 — no
+        modulo cycling), so num_layers must not exceed len(features)
+      * each seg head maps the Q-channel attention map to ``num_classes``
+        channels (Conv2d(num_queries, num_classes, 1), :561) instead of a
+        per-query scalar head
+      * mask2former-style prediction heads run once on the initial queries
+        (:628-631): decoder_norm -> class_embed [B,Q,num_classes+1] and
+        mask_embed MLP einsum'd with the pixel ``mask_features``
+        -> outputs_mask [B,Q,H,W]
+
+    Inputs: ``features`` — list of NHWC maps, one per layer; ``mask_features``
+    — NHWC pixel features from the CNN decoder. Returns
+    (attn_segmaps [B,num_classes,h_i,w_i] per layer, (outputs_class,
+    outputs_mask)).
+    """
+    num_queries: int = 4
+    num_classes: int = 4
+    hidden_dim: int = 256
+    num_layers: int = 4
+    num_heads: int = 8          # self-attention heads; cross-attn is 1-head
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray],
+                 mask_features: jnp.ndarray, *, train: bool = False):
+        if self.num_layers > len(features):
+            raise ValueError("MyTransformerDecoderV1 indexes feature level i "
+                             "at layer i (mask2former...py:635); need "
+                             f"{self.num_layers} levels, got {len(features)}")
+        b = features[0].shape[0]
+        tokens, poss, hw = [], [], []
+        for i in range(self.num_layers):
+            f = features[i]
+            _, h, w, _ = f.shape
+            t = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
+                        name=f"input_proj{i}")(f).reshape(b, h * w, self.hidden_dim)
+            lvl = self.param(f"level_embed{i}", nn.initializers.normal(0.02),
+                             (1, 1, self.hidden_dim))
+            tokens.append(t + lvl)
+            poss.append(position_embedding_sine(h, w, self.hidden_dim)[None])
+            hw.append((h, w))
+
+        query_feat = self.param("query_feat", nn.initializers.normal(0.02),
+                                (self.num_queries, self.hidden_dim))
+        query_pos = self.param("query_embed", nn.initializers.normal(0.02),
+                               (self.num_queries, self.hidden_dim))
+        tgt = jnp.broadcast_to(query_feat[None], (b,) + query_feat.shape)
+        qpos = jnp.broadcast_to(query_pos[None], (b,) + query_pos.shape)
+
+        # prediction heads on the learnable query features (:628-631)
+        dec = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")(tgt)
+        outputs_class = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                                 name="class_embed")(dec)
+        mask_embed = MlpHead(self.hidden_dim, mask_features.shape[-1],
+                             dtype=self.dtype, name="mask_embed")(dec)
+        outputs_mask = jnp.einsum("bqc,bhwc->bqhw", mask_embed, mask_features)
+
+        seg_maps: List[jnp.ndarray] = []
+        for layer in range(self.num_layers):
+            tgt, attn = CrossAttentionLayer(self.hidden_dim, 1, self.dtype,
+                                            name=f"cross{layer}")(
+                tgt, tokens[layer], qpos, poss[layer])
+            h, w = hw[layer]
+            # seg head: queries -> classes over the attention map (:561,:649)
+            seg = nn.Dense(self.num_classes, dtype=self.dtype,
+                           name=f"seg_head{layer}")(
+                jnp.swapaxes(attn, 1, 2))           # [B, hw, Q] -> [B, hw, C]
+            seg_maps.append(jnp.swapaxes(seg, 1, 2).reshape(
+                b, self.num_classes, h, w))
+            tgt = SelfAttentionLayer(self.hidden_dim, self.num_heads,
+                                     self.dtype, name=f"self{layer}")(tgt, qpos)
+            tgt = FFNLayer(self.hidden_dim, dtype=self.dtype,
+                           name=f"ffn{layer}")(tgt)
+        return seg_maps, (outputs_class, outputs_mask)
+
+
 class KMaxTransformerDecoder(nn.Module):
     """MyKMaXTransformerDecoder equivalent: same query/level cycling but with
     k-means cluster-assignment cross-attention; per-layer seg heads over the
