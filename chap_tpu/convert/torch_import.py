@@ -172,12 +172,150 @@ def unet3d_rules() -> List[Rule]:
     return rules
 
 
+def _swin_block_rules(tp: str, fp: str) -> List[Rule]:
+    """SwinTransformerBlock (swin...sys.py:169-307) -> chap SwinBlock."""
+    return [
+        (f"{tp}.norm1", "ln", f"{fp}/LayerNorm_0"),
+        (f"{tp}.attn.qkv", "linear", f"{fp}/WindowAttention_0/qkv"),
+        (f"{tp}.attn.proj", "linear", f"{fp}/WindowAttention_0/proj"),
+        (f"{tp}.attn.relative_position_bias_table", "raw",
+         f"{fp}/WindowAttention_0/relative_position_bias_table"),
+        (f"{tp}.norm2", "ln", f"{fp}/LayerNorm_1"),
+        (f"{tp}.mlp.fc1", "linear", f"{fp}/Mlp_0/Dense_0"),
+        (f"{tp}.mlp.fc2", "linear", f"{fp}/Mlp_0/Dense_1"),
+    ]
+
+
+def swinunet_rules(depths=(2, 2, 2, 2)) -> List[Rule]:
+    """Full SwinTransformerSys state_dict (swin...sys.py:599-817) -> chap
+    SwinUNet. Key correspondence: layers.{i} = enc{i}_blk*/merge{i};
+    layers_up.0 = expand0; layers_up.{j>=1} = dec{j-1}_blk* (+ expand{j} from
+    its .upsample); concat_back_dim.{j} = skip_reduce{j-1}; norm/norm_up =
+    bottleneck/decoder-final LayerNorms; up = the FinalPatchExpand head."""
+    n = len(depths)
+    rules: List[Rule] = [
+        ("patch_embed.proj", "conv", "patch_embed"),
+        ("patch_embed.norm", "ln", "LayerNorm_0"),
+        ("norm", "ln", "norm"),
+        ("norm_up", "ln", "norm_up"),
+        ("up.expand", "linear", "up_x4/Dense_0"),
+        ("up.norm", "ln", "up_x4/LayerNorm_0"),
+        ("output", "conv", "output"),
+    ]
+    for i in range(n):
+        for d in range(depths[i]):
+            rules += _swin_block_rules(f"layers.{i}.blocks.{d}",
+                                       f"enc{i}_blk{d}")
+        if i < n - 1:
+            rules.append((f"layers.{i}.downsample.norm", "ln",
+                          f"merge{i}/LayerNorm_0"))
+            rules.append((f"layers.{i}.downsample.reduction", "linear",
+                          f"merge{i}/Dense_0"))
+    rules.append(("layers_up.0.expand", "linear", "expand0/Dense_0"))
+    rules.append(("layers_up.0.norm", "ln", "expand0/LayerNorm_0"))
+    for j in range(1, n):
+        for d in range(depths[n - 1 - j]):
+            rules += _swin_block_rules(f"layers_up.{j}.blocks.{d}",
+                                       f"dec{j - 1}_blk{d}")
+        rules.append((f"concat_back_dim.{j}", "linear", f"skip_reduce{j - 1}"))
+        if j < n - 1:
+            rules.append((f"layers_up.{j}.upsample.expand", "linear",
+                          f"expand{j}/Dense_0"))
+            rules.append((f"layers_up.{j}.upsample.norm", "ln",
+                          f"expand{j}/LayerNorm_0"))
+    return rules
+
+
+_B0_STAGE_BLOCKS = (1, 2, 2, 3, 3, 4, 1)    # lukemelas b0 repeats
+
+
+def efficientnet_b0_rules() -> List[Rule]:
+    """lukemelas efficientnet_pytorch b0 state_dict -> the chap EffiUNet
+    ENCODER subtree (models/efficientunet.py). Torch naming: _conv_stem/_bn0
+    stem, _blocks.{k} MBConvs with _expand_conv/_bn0 (absent when
+    expand_ratio==1), _depthwise_conv/_bn1, _se_reduce/_se_expand,
+    _project_conv/_bn2; the classifier head (_conv_head/_bn1/_fc) has no
+    pyramid analog (the reference encoder deletes _fc too,
+    efficient_encoder.py:78,105-109)."""
+    rules: List[Rule] = [
+        ("_conv_stem", "conv", "stem"),
+        ("_bn0", "bn", "BatchNorm_0"),
+    ]
+    k = 0
+    for si, blocks in enumerate(_B0_STAGE_BLOCKS):
+        for b in range(blocks):
+            tp = f"_blocks.{k}"
+            fp = f"stage{si}_block{b}"
+            expand = si > 0
+            ci = 0
+            if expand:
+                rules.append((f"{tp}._expand_conv", "conv", f"{fp}/Conv_{ci}"))
+                rules.append((f"{tp}._bn0", "bn", f"{fp}/BatchNorm_{ci}"))
+                ci += 1
+            rules.append((f"{tp}._depthwise_conv", "conv", f"{fp}/Conv_{ci}"))
+            rules.append((f"{tp}._bn1", "bn", f"{fp}/BatchNorm_{ci}"))
+            rules.append((f"{tp}._se_reduce", "conv",
+                          f"{fp}/SqueezeExcite_0/Conv_0"))
+            rules.append((f"{tp}._se_expand", "conv",
+                          f"{fp}/SqueezeExcite_0/Conv_1"))
+            rules.append((f"{tp}._project_conv", "conv", f"{fp}/Conv_{ci + 1}"))
+            rules.append((f"{tp}._bn2", "bn", f"{fp}/BatchNorm_{ci + 1}"))
+            k += 1
+    return rules
+
+
+def convert_efficientnet_pretrained(state_dict: Mapping[str, Any],
+                                    variables: Mapping[str, Any],
+                                    in_chns: int = 1) -> Dict[str, Any]:
+    """Ingest a pretrained EfficientNet-b0 checkpoint into an EffiUNet's
+    encoder (decoder keeps fresh init — it has no ImageNet analog). Implements
+    patch_first_conv for non-RGB inputs (efficient_encoder.py:36-67):
+    in_chns 1 sums the stem kernel over the input-channel axis, in_chns 2
+    keeps the first two channels scaled by 3/2."""
+    sd = dict(state_dict)
+    w = _np(sd["_conv_stem.weight"])            # [O, 3, kh, kw]
+    if in_chns == 1:
+        sd["_conv_stem.weight"] = w.sum(1, keepdims=True)
+    elif in_chns == 2:
+        sd["_conv_stem.weight"] = w[:, :2] * (3.0 / 2.0)
+    elif in_chns != 3:
+        raise ValueError("patch_first_conv supports in_chns in (1, 2, 3); "
+                         f"got {in_chns} (the reference re-initializes >3, "
+                         "which equals training from scratch)")
+
+    params = _to_mutable(variables["params"])
+    batch_stats = _to_mutable(variables.get("batch_stats", {}))
+    enc_p = params["encoder"] if "encoder" in params else params
+    enc_s = batch_stats.get("encoder", batch_stats)
+    apply_rules(efficientnet_b0_rules(), sd, enc_p, enc_s)
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
+def swin_encoder_surgery(state_dict: Mapping[str, Any],
+                         num_layers: int = 4) -> Dict[str, Any]:
+    """The reference's load_from checkpoint surgery
+    (vision_transformer.py:71-87): every encoder key layers.{i}... also
+    initializes the mirrored decoder stage layers_up.{num_layers-1-i}...
+    (shape-mismatched entries are dropped later by the lenient converter,
+    exactly like the reference's strict=False load)."""
+    full = dict(state_dict)
+    for k, v in state_dict.items():
+        if k.startswith("layers."):
+            mirrored = num_layers - 1 - int(k[7])
+            full[f"layers_up.{mirrored}" + k[8:]] = v
+    return full
+
+
 _FAMILIES = {
     "dualdecoder": dualdecoder_rules,
     "unet": unet2d_rules,
     "vnet": vnet_rules,
     "dualdecoder3d": dualdecoder3d_rules,
     "unet_3D": unet3d_rules,
+    "swinunet": swinunet_rules,
 }
 
 
@@ -230,11 +368,24 @@ def _assign(leaf: Dict[str, Any], name: str, value: np.ndarray,
 
 
 def apply_rules(rules: List[Rule], state_dict: Mapping[str, Any],
-                params: Dict[str, Any], batch_stats: Dict[str, Any]) -> List[str]:
+                params: Dict[str, Any], batch_stats: Dict[str, Any],
+                lenient: bool = False) -> List[str]:
     """Fill params/batch_stats (mutated in place) from the state_dict.
-    Returns the list of consumed torch keys."""
+    Returns the list of consumed torch keys. ``lenient`` skips rules whose
+    torch keys are absent or whose shapes mismatch (torch load_state_dict
+    strict=False semantics, used by the pretrained-encoder surgery)."""
     consumed: List[str] = []
     for tp, kind, fp in rules:
+        if lenient:
+            probe = tp if kind == "raw" else f"{tp}.weight"
+            if probe not in state_dict:
+                continue
+            try:
+                consumed += apply_rules([(tp, kind, fp)], state_dict, params,
+                                        batch_stats)
+            except (KeyError, ValueError):
+                pass
+            continue
         if kind in ("conv", "deconv"):
             w = _np(state_dict[f"{tp}.weight"])
             kernel = _conv_kernel(w) if kind == "conv" else _deconv_kernel(w)
@@ -261,6 +412,15 @@ def apply_rules(rules: List[Rule], state_dict: Mapping[str, Any],
                 _assign(_get(params, fp), "bias",
                         _np(state_dict[f"{tp}.bias"]), fp)
                 consumed.append(f"{tp}.bias")
+        elif kind == "ln":
+            leaf = _get(params, fp)
+            _assign(leaf, "scale", _np(state_dict[f"{tp}.weight"]), fp)
+            _assign(leaf, "bias", _np(state_dict[f"{tp}.bias"]), fp)
+            consumed += [f"{tp}.weight", f"{tp}.bias"]
+        elif kind == "raw":
+            parent, _, leaf_name = fp.rpartition("/")
+            _assign(_get(params, parent), leaf_name, _np(state_dict[tp]), fp)
+            consumed.append(tp)
         else:
             raise ValueError(f"unknown rule kind {kind!r}")
     return consumed
@@ -299,12 +459,42 @@ def convert_state_dict(model_name: str, state_dict: Mapping[str, Any],
     batch_stats = _to_mutable(variables.get("batch_stats", {}))
     consumed = set(apply_rules(rules, state_dict, params, batch_stats))
 
+    _BUFFERS = ("num_batches_tracked", "relative_position_index", "attn_mask")
+    # SwinTransformerSys constructs its projector even at projection_dim=0
+    # (zero-element tensors, swin...sys.py:728-733) — nothing to ingest.
+    _IGNORE_PREFIXES = ("projector.",) if model_name == "swinunet" else ()
     leftovers = [k for k in state_dict
-                 if k not in consumed and not k.endswith("num_batches_tracked")]
+                 if k not in consumed and not k.endswith(_BUFFERS)
+                 and not k.startswith(_IGNORE_PREFIXES)]
     if leftovers and strict:
         raise ValueError(f"{len(leftovers)} torch keys not consumed, e.g. "
                          f"{leftovers[:8]}")
 
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
+def convert_swin_pretrained(state_dict: Mapping[str, Any],
+                            variables: Mapping[str, Any],
+                            depths=(2, 2, 2, 2)) -> Dict[str, Any]:
+    """Ingest an OFFICIAL ImageNet-pretrained Swin encoder checkpoint into a
+    chap SwinUNet — the reference's load_from path (vision_transformer.py:
+    55-90): unwrap {'model': ...}, mirror encoder layers into the decoder
+    (:75-80 surgery), then lenient-load (strict=False, :83-87) so keys absent
+    from the checkpoint (expands, skip reduces, output head) keep their fresh
+    init and shape-mismatched mirrors are dropped."""
+    if "model" in state_dict:
+        state_dict = state_dict["model"]
+    full = swin_encoder_surgery(state_dict, num_layers=len(depths))
+    params = _to_mutable(variables["params"])
+    batch_stats = _to_mutable(variables.get("batch_stats", {}))
+    consumed = apply_rules(swinunet_rules(depths), full, params, batch_stats,
+                           lenient=True)
+    if not any(k.startswith("layers.") for k in consumed):
+        raise ValueError("no encoder weights matched — is this a Swin "
+                         "checkpoint?")
     out = {"params": params}
     if batch_stats:
         out["batch_stats"] = batch_stats

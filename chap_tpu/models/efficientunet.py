@@ -39,19 +39,27 @@ class MBConv(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         in_ch = x.shape[-1]
         mid = in_ch * self.expand_ratio
+        # TF-SAME padding + BN eps 1e-3: the EfficientNet lineage's exact
+        # semantics (the reference loads lukemelas efficientnet_pytorch
+        # weights whose convs are Conv2dStaticSamePadding and whose
+        # batch_norm_epsilon is 1e-3) — required for pretrained ingestion
+        # (chap_tpu.convert.convert_efficientnet_pretrained).
         h = x
         if self.expand_ratio != 1:
             h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype)(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-3, dtype=self.dtype)(h)
             h = nn.swish(h)
         h = nn.Conv(mid, (self.kernel, self.kernel), strides=self.stride,
-                    padding=self.kernel // 2, feature_group_count=mid,
+                    padding="SAME", feature_group_count=mid,
                     use_bias=False, dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=self.dtype)(h)
         h = nn.swish(h)
         h = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), self.dtype)(h)
         h = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=self.dtype)(h)
         if self.stride == 1 and in_ch == self.out_channels:
             h = h + x
         return h
@@ -62,26 +70,69 @@ _B0_STAGES = ((16, 1, 1, 3, 1), (24, 2, 2, 3, 6), (40, 2, 2, 5, 6),
               (80, 3, 2, 3, 6), (112, 3, 1, 5, 6), (192, 4, 2, 5, 6),
               (320, 1, 1, 3, 6))
 
+# compound-scaling (width, depth) coefficients, the multi-arch get_encoder
+# table (efficient_encoder.py:124-201 pretrained-settings rows b0..b7)
+_SCALING = {
+    "efficientnet-b0": (1.0, 1.0), "efficientnet-b1": (1.0, 1.1),
+    "efficientnet-b2": (1.1, 1.2), "efficientnet-b3": (1.2, 1.4),
+    "efficientnet-b4": (1.4, 1.8), "efficientnet-b5": (1.6, 2.2),
+    "efficientnet-b6": (1.8, 2.6), "efficientnet-b7": (2.0, 3.1),
+}
+
+
+def round_filters(filters: int, width: float, divisor: int = 8) -> int:
+    """EfficientNet channel rounding (efficientnet_pytorch.utils semantics the
+    reference's get_model_params resolves to)."""
+    filters *= width
+    new_f = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new_f < 0.9 * filters:
+        new_f += divisor
+    return int(new_f)
+
+
+def round_repeats(repeats: int, depth: float) -> int:
+    import math
+    return int(math.ceil(depth * repeats))
+
 
 class EfficientNetEncoder(nn.Module):
-    """B0 feature pyramid: returns features after stem and at each resolution
-    drop: channels [32, 24, 40, 112, 320] at strides [2, 4, 8, 16, 32]."""
+    """EfficientNet feature pyramid, any b0..b7 via compound scaling:
+    returns features after the stem and at each resolution drop
+    (b0: channels [32, 24, 40, 112, 320] at strides [2, 4, 8, 16, 32],
+    matching efficient_encoder.py:129 out_channels[1:])."""
+    width: float = 1.0
+    depth: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> List[jnp.ndarray]:
-        h = nn.Conv(32, (3, 3), strides=2, padding=1, use_bias=False,
-                    dtype=self.dtype, name="stem")(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
+        h = nn.Conv(round_filters(32, self.width), (3, 3), strides=2,
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    name="stem")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=self.dtype)(h)
         h = nn.swish(h)
         feats = [h]
         for si, (ch, blocks, stride, kernel, expand) in enumerate(_B0_STAGES):
-            for b in range(blocks):
+            ch = round_filters(ch, self.width)
+            for b in range(round_repeats(blocks, self.depth)):
                 h = MBConv(ch, expand, stride if b == 0 else 1, kernel,
                            dtype=self.dtype, name=f"stage{si}_block{b}")(h, train=train)
             if si in (1, 2, 4, 6):  # resolution-drop boundaries
                 feats.append(h)
-        return feats  # [32@1/2, 24@1/4, 40@1/8, 112@1/16, 320@1/32]
+        return feats
+
+
+def get_encoder(name: str = "efficientnet-b0", dtype=jnp.float32
+                ) -> EfficientNetEncoder:
+    """get_encoder equivalent (efficient_encoder.py:203-216): encoder by
+    name. (ImageNet weights load via
+    chap_tpu.convert.convert_efficientnet_pretrained from a local .pth —
+    this environment has no network for the reference's url_map downloads.)"""
+    if name not in _SCALING:
+        raise KeyError(f"unknown encoder {name!r}; have {sorted(_SCALING)}")
+    w, d = _SCALING[name]
+    return EfficientNetEncoder(width=w, depth=d, dtype=dtype)
 
 
 class DecoderBlock(nn.Module):
@@ -105,14 +156,18 @@ class DecoderBlock(nn.Module):
 
 
 class EffiUNet(nn.Module):
-    """Effi_UNet equivalent (efficientunet.py:143-215)."""
+    """Effi_UNet equivalent (efficientunet.py:143-215); encoder_name selects
+    the b0..b7 backbone like the reference's get_encoder."""
     num_classes: int
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    encoder_name: str = "efficientnet-b0"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        feats = EfficientNetEncoder(self.dtype, name="encoder")(x, train=train)
+        w, d = _SCALING[self.encoder_name]
+        feats = EfficientNetEncoder(w, d, self.dtype, name="encoder")(
+            x, train=train)
         skips = feats[:-1][::-1] + [None]  # deepest first, no skip at last up
         h = feats[-1]
         for i, ch in enumerate(self.decoder_channels):

@@ -122,7 +122,7 @@ class SwinBlock(nn.Module):
         b, l, c = x.shape
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype)(x).reshape(b, h, w, c)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x).reshape(b, h, w, c)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
             mask = _shift_attn_mask(h, w, ws, shift)
@@ -136,7 +136,7 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = shortcut + x.reshape(b, l, c)
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype)(
-            nn.LayerNorm(dtype=self.dtype)(x), train=train)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x), train=train)
         return x
 
 
@@ -154,7 +154,7 @@ class PatchMerging(nn.Module):
         x = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
                              x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
         x = x.reshape(b, (h // 2) * (w // 2), 4 * c)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype)(x)
 
 
@@ -172,7 +172,7 @@ class PatchExpand(nn.Module):
         c2 = 2 * self.dim
         x = x.reshape(b, h, w, 2, 2, c2 // 4)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h * 2 * w, c2 // 4)
-        return nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
 
 
 class FinalPatchExpandX4(nn.Module):
@@ -188,7 +188,95 @@ class FinalPatchExpandX4(nn.Module):
         x = nn.Dense(16 * self.dim, use_bias=False, dtype=self.dtype)(x)
         x = x.reshape(b, h, w, 4, 4, self.dim)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * h * 4 * w, self.dim)
-        return nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+
+
+class SwinDecoder(nn.Module):
+    """Decoder-only Swin (SwinTransformer_Decoder,
+    swin_..._original.py:807-1036, imported at vision_transformer.py:21):
+    a 5-level CNN feature pyramid (channels ``in_chans``, e.g. a UNet
+    encoder's [16,32,64,128,256]) is patch-embedded per level with stride-2
+    convs to dims embed_dim*(1,2,4,8,16) (Features_PatchEmbed :1039-1095),
+    the deepest level seeds a Swin decoder whose stages PatchExpand 2x,
+    concat the matching level's embedding, linear-reduce, and run Swin
+    blocks; a final 2x expand (dim_scale=2, :928-931) returns full
+    resolution. Returns NHWC logits; ``with_features`` adds the projector
+    head output (:936-941). The reference also constructs a full Swin
+    ENCODER it never calls in forward (:875-892) — dead weight, not rebuilt.
+    """
+    num_classes: int = 4
+    img_size: int = 224
+    embed_dim: int = 48
+    patch_size: int = 2
+    depths: Sequence[int] = (2, 2, 2, 2, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24, 24)
+    window_size: int = 7
+    projection_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], *,
+                 train: bool = False, with_features: bool = False):
+        num_layers = len(self.depths)
+        if len(features) != num_layers:
+            raise ValueError(f"need {num_layers} pyramid levels, got "
+                             f"{len(features)}")
+        b = features[0].shape[0]
+
+        # Features_PatchEmbed: per-level stride-2 conv to embed_dim * 2**i
+        embeds, ress = [], []
+        for i, f in enumerate(features):
+            dim_i = self.embed_dim * 2 ** i
+            t = nn.Conv(dim_i, (self.patch_size, self.patch_size),
+                        strides=self.patch_size, dtype=self.dtype,
+                        name=f"patch_proj{i}")(f)
+            h = t.shape[1]
+            t = t.reshape(b, h * t.shape[2], dim_i)
+            t = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"patch_norm{i}")(t)
+            embeds.append(t)
+            ress.append(h)
+
+        x = embeds[-1]
+        res, dim = ress[-1], self.embed_dim * 2 ** (num_layers - 1)
+        x = PatchExpand(dim, (res, res), self.dtype, name="expand0")(x)
+        res, dim = res * 2, dim // 2
+        for inx in range(1, num_layers):
+            lvl = num_layers - 1 - inx
+            x = jnp.concatenate([x, embeds[lvl]], axis=-1)
+            x = nn.Dense(dim, dtype=self.dtype, name=f"concat_back{inx}")(x)
+            for d in range(self.depths[lvl]):
+                x = SwinBlock(dim, self.num_heads[lvl], (res, res),
+                              self.window_size,
+                              0 if d % 2 == 0 else self.window_size // 2,
+                              dtype=self.dtype,
+                              name=f"up{inx}_blk{d}")(x, train=train)
+            if inx < num_layers - 1:
+                x = PatchExpand(dim, (res, res), self.dtype,
+                                name=f"expand{inx}")(x)
+                res, dim = res * 2, dim // 2
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_up")(x)
+
+        # final expand: dim_scale = patch_size (2) back to input resolution
+        s = self.patch_size
+        x = nn.Dense(s * s * dim, use_bias=False, dtype=self.dtype,
+                     name="final_expand")(x)
+        x = x.reshape(b, res, res, s, s, dim)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, res * s * res * s, dim)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(x)
+        x = x.reshape(b, res * s, res * s, dim)
+
+        logits = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                         dtype=self.dtype, name="output")(x)
+        if not with_features:
+            return logits
+        p = nn.Conv(self.projection_dim, (1, 1), dtype=self.dtype,
+                    name="proj1")(x)
+        p = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="proj_bn")(p)
+        p = nn.relu(p)
+        p = nn.Conv(self.projection_dim, (1, 1), dtype=self.dtype,
+                    name="proj2")(p)
+        return logits, p
 
 
 class SwinUNet(nn.Module):
@@ -215,24 +303,28 @@ class SwinUNet(nn.Module):
         x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
                     strides=self.patch_size, dtype=self.dtype, name="patch_embed")(x)
         x = x.reshape(b, res0 * res0, self.embed_dim)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
 
         num_layers = len(self.depths)
         skips = []
         res = res0
         dim = self.embed_dim
-        # encoder
+        # encoder — skips are the INPUTS to each BasicLayer, i.e. collected
+        # BEFORE the layer's blocks run (swin...sys.py:762-763 appends x to
+        # x_downsample before `x = layer(x)`)
         for i, depth in enumerate(self.depths):
+            skips.append((x, res, dim))
             for d in range(depth):
                 x = SwinBlock(dim, self.num_heads[i], (res, res),
                               self.window_size,
                               0 if d % 2 == 0 else self.window_size // 2,
                               dtype=self.dtype, name=f"enc{i}_blk{d}")(x, train=train)
-            skips.append((x, res, dim))
             if i < num_layers - 1:
                 x = PatchMerging(dim, (res, res), self.dtype, name=f"merge{i}")(x)
                 res //= 2
                 dim *= 2
+        # bottleneck norm (swin...sys.py:766 `x = self.norm(x)`)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
         # decoder
         for i in range(num_layers - 1):
@@ -241,8 +333,8 @@ class SwinUNet(nn.Module):
             dim //= 2
             skip, _, _ = skips[num_layers - 2 - i]
             x = jnp.concatenate([x, skip], axis=-1)
-            x = nn.Dense(dim, use_bias=False, dtype=self.dtype,
-                         name=f"skip_reduce{i}")(x)
+            # concat_back_dim is a biased Linear (swin...sys.py:690-691)
+            x = nn.Dense(dim, dtype=self.dtype, name=f"skip_reduce{i}")(x)
             depth = self.depths[num_layers - 2 - i]
             for d in range(depth):
                 x = SwinBlock(dim, self.num_heads[num_layers - 2 - i], (res, res),
@@ -250,7 +342,7 @@ class SwinUNet(nn.Module):
                               0 if d % 2 == 0 else self.window_size // 2,
                               dtype=self.dtype, name=f"dec{i}_blk{d}")(x, train=train)
 
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_up")(x)
         x = FinalPatchExpandX4(dim, (res, res), self.dtype, name="up_x4")(x)
         x = x.reshape(b, res * 4, res * 4, dim)
         return nn.Conv(self.num_classes, (1, 1), use_bias=False,

@@ -27,8 +27,14 @@ class CheckpointManager:
         return os.path.join(self.root, name)
 
     def save(self, name: str, state: Any) -> None:
+        # serialize through flax's state-dict view: pure nested dicts, no
+        # tuples/lists/custom nodes — orbax's structural matching treats a
+        # tuple-in-template vs list-on-disk as an error (observed flaking on
+        # TrainState.sim_scores), and from_state_dict restores the template's
+        # own container types on the way back.
+        import flax.serialization as fser
         path = self._slot(name)
-        self._ckptr.save(path, state, force=True)
+        self._ckptr.save(path, fser.to_state_dict(state), force=True)
         self._ckptr.wait_until_finished()
 
     def save_latest(self, state: Any) -> None:
@@ -38,7 +44,10 @@ class CheckpointManager:
         self.save("best", state)
 
     def restore(self, name: str, template: Any) -> Any:
-        return self._ckptr.restore(self._slot(name), template)
+        import flax.serialization as fser
+        restored = self._ckptr.restore(self._slot(name),
+                                       fser.to_state_dict(template))
+        return fser.from_state_dict(template, restored)
 
     def has(self, name: str) -> bool:
         return os.path.isdir(self._slot(name))

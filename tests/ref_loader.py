@@ -44,6 +44,12 @@ def install_ref_stubs():
     tml = sys.modules["timm.models.layers"]
     tml.DropPath = _nn.Identity
     tml.trunc_normal_tf_ = lambda *a, **k: None
+    tml.trunc_normal_ = lambda *a, **k: None
+
+    def _to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    tml.to_2tuple = _to_2tuple
 
     if REF not in sys.path:
         sys.path.insert(0, REF)

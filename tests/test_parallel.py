@@ -1,4 +1,6 @@
 """Multi-device data-parallel tests on the virtual 8-device CPU mesh."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,7 +51,14 @@ def test_data_parallel_grad_matches_single_device():
                                rtol=1e-5)
 
 
+@pytest.mark.skipif(not os.environ.get("CHAP_SLOW_TESTS"),
+                    reason="duplicates the driver-run dryrun_multichip "
+                           "(~90 s compile); set CHAP_SLOW_TESTS=1")
 def test_chap_step_on_mesh():
-    """Full CHAP train step over the 8-device mesh (the dryrun_multichip path)."""
+    """Full CHAP train step over the 8-device mesh (the dryrun_multichip path).
+    The driver executes __graft_entry__.dryrun_multichip separately every
+    round (MULTICHIP_r*.json), so the default suite run skips this; the
+    mesh-step contract itself is still covered by
+    test_data_parallel_grad_matches_single_device and the trainer e2e tests."""
     import __graft_entry__ as graft
     graft.dryrun_multichip(8)
