@@ -67,9 +67,11 @@ def convert(pth: str, model_name: str, out: str, *, in_chns: int = 1,
                                    decoder_type=decoder_type,
                                    normalization=normalization)
 
+    # sim_scores only exist on the 2D CHAP train state (what cli/test_2d
+    # restores with); the 3D eval CLI's template has none (cli/test_3d)
+    sim = tuple(cfg.model.feature_chns) if model_name not in _3D else ()
     template = create_train_state(model, jax.random.PRNGKey(0), sample,
-                                  make_optimizer(0.01, 1000),
-                                  sim_chns=tuple(cfg.model.feature_chns))
+                                  make_optimizer(0.01, 1000), sim_chns=sim)
     state = template.replace(params=converted["params"],
                              batch_stats=converted.get("batch_stats", {}))
 
