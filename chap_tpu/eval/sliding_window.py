@@ -65,11 +65,13 @@ class SlidingWindowEngine:
     """
 
     def __init__(self, model, patch_size: Tuple[int, int, int],
-                 sw_batch: int = 8, compute_dtype=jnp.float32):
+                 sw_batch: int = 8, compute_dtype=jnp.float32,
+                 pack_binary: bool = True):
         self.model = model
         self.patch = tuple(patch_size)
         self.sw_batch = sw_batch
         self.compute_dtype = compute_dtype
+        self.pack_binary = pack_binary
         patch = self.patch
 
         def run(variables, volume, starts, valid, num_classes: int):
@@ -83,7 +85,7 @@ class SlidingWindowEngine:
             cnt0 = jnp.zeros(shape, jnp.float32)
             vol_c = volume.astype(compute_dtype)
 
-            def selection_matrices(s):
+            def selection_matrices(s, dtype):
                 """One-hot selection matrices mapping patch coords -> volume
                 coords. Scatter/gather as matmuls ride the MXU instead of the
                 slow unaligned dynamic-slice path (offsets like 18/4 never hit
@@ -91,27 +93,31 @@ class SlidingWindowEngine:
                 has exactly one nonzero contribution, so at HIGHEST precision
                 the result is bit-exact."""
                 sx = (jnp.arange(ww)[None, :] ==
-                      (s[0] + jnp.arange(patch[0]))[:, None]).astype(jnp.float32)
+                      (s[0] + jnp.arange(patch[0]))[:, None]).astype(dtype)
                 sy = (jnp.arange(hh)[None, :] ==
-                      (s[1] + jnp.arange(patch[1]))[:, None]).astype(jnp.float32)
+                      (s[1] + jnp.arange(patch[1]))[:, None]).astype(dtype)
                 sz = (jnp.arange(dd)[None, :] ==
-                      (s[2] + jnp.arange(patch[2]))[:, None]).astype(jnp.float32)
+                      (s[2] + jnp.arange(patch[2]))[:, None]).astype(dtype)
                 return sx, sy, sz
 
             def scan_body(carry, batch_in):
                 sc, ct = carry
                 b_starts, b_valid = batch_in
-                sx, sy, sz = jax.vmap(selection_matrices)(b_starts)
+                # gather in compute dtype (one-hot selectors are exact in
+                # bf16; each output has a single nonzero contribution, so
+                # only the data mantissa is rounded (<=0.4%) — immaterial
+                # ahead of the network forward and for the argmax vote);
+                # scatter-side selectors stay f32 for exact accumulation.
+                gx, gy, gz = jax.vmap(
+                    lambda s: selection_matrices(s, compute_dtype))(b_starts)
+                sx, sy, sz = jax.vmap(
+                    lambda s: selection_matrices(s, jnp.float32))(b_starts)
                 # explicit pairwise contraction order (one spatial dim at a
                 # time) — a single 4-operand einsum lets XLA pick a blow-up
-                # order like (Sx x Sy) first. Default (bf16) MXU precision:
-                # the one-hot selectors are exact in bf16 and each output has
-                # a single nonzero contribution, so only the data mantissa is
-                # rounded (<=0.4%) — immaterial ahead of the network forward
-                # and for the argmax vote.
-                g = jnp.einsum("XYZ,bxX->bxYZ", volume, sx)
-                g = jnp.einsum("bxYZ,byY->bxyZ", g, sy)
-                patches = jnp.einsum("bxyZ,bzZ->bxyz", g, sz).astype(compute_dtype)
+                # order like (Sx x Sy) first.
+                g = jnp.einsum("XYZ,bxX->bxYZ", vol_c, gx)
+                g = jnp.einsum("bxYZ,byY->bxyZ", g, gy)
+                patches = jnp.einsum("bxyZ,bzZ->bxyz", g, gz)
                 out = model.apply(variables, patches[..., None], train=False)
                 if isinstance(out, (tuple, list)):
                     # dual-decoder logit ensemble (test_2D_fully.py:72)
@@ -137,9 +143,16 @@ class SlidingWindowEngine:
                                axis=0)
             # int8 result: the device->host path is the scarce resource
             # (tunnel-attached TPUs move ~30 MB/s down), 4x smaller download.
-            # (bit-packing binary maps was tried and reverted: the pack op's
-            # relayout costs about what the smaller transfer saves, and
-            # tunnel throughput variance swamps the difference)
+            if num_classes == 2 and dd % 8 == 0 and self.pack_binary:
+                # 2-class maps: pack 8 voxels/byte (np.unpackbits bit order,
+                # MSB first) — another 8x off the download. A first attempt
+                # predated the bf16-upload work and was reverted as a wash;
+                # in the now IO-bound regime the pack's device cost hides
+                # under the link time it saves.
+                bits = label.reshape(ww, hh, dd // 8, 8).astype(jnp.float32)
+                weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1],
+                                      jnp.float32)
+                return jnp.einsum("whdk,k->whd", bits, weights).astype(jnp.uint8)
             return label.astype(jnp.int8)
 
         self._run = jax.jit(run, static_argnums=(4,))
@@ -168,13 +181,23 @@ class SlidingWindowEngine:
         starts = starts.reshape(-1, self.sw_batch, 3)
         valid = valid.reshape(-1, self.sw_batch)
 
-        device_map = self._run(variables, jnp.asarray(image.astype(np.float32)),
+        # upload in compute dtype: host->device bandwidth is the scarce
+        # resource on tunnel-attached chips; a bf16 volume is half the f32
+        # payload, and the first device op casts to compute dtype anyway.
+        # (np.dtype(jnp.bfloat16) resolves to the ml_dtypes numpy scalar, so
+        # the cast happens host-side and the small payload is what's shipped.)
+        host_vol = image.astype(np.dtype(self.compute_dtype))
+        device_map = self._run(variables, jnp.asarray(host_vol),
                                jnp.asarray(starts), jnp.asarray(valid), num_classes)
-        return device_map, (w, h, d), pad_lo, any(pads)
+        packed = (num_classes == 2 and shape[2] % 8 == 0 and self.pack_binary)
+        return device_map, (w, h, d), pad_lo, any(pads), packed
 
     def finalize(self, handle, num_classes: int, nms: bool = False) -> np.ndarray:
-        device_map, (w, h, d), pad_lo, padded = handle
-        label_map = np.asarray(device_map).astype(np.int32)
+        device_map, (w, h, d), pad_lo, padded, packed = handle
+        label_map = np.asarray(device_map)
+        if packed:
+            label_map = np.unpackbits(label_map, axis=-1)
+        label_map = label_map.astype(np.int32)
         if padded:
             label_map = label_map[pad_lo[0]:pad_lo[0] + w,
                                   pad_lo[1]:pad_lo[1] + h,
