@@ -1,7 +1,9 @@
-"""TPU benchmark of the CHAP train step (2D slices/sec/chip headline).
+"""TPU benchmark of the CHAP train step (2D slices/sec/chip headline and the
+3D LA-protocol step, patches/sec/chip).
 
 Usage: python scripts/bench_train_step.py [variant ...]
-variants: baseline-f32 full-f32 full-bf16 (default: all)
+variants: baseline-f32 full-f32 full-bf16 3d-cps-bf16 3d-full-bf16
+(default: all)
 """
 import sys
 import time
@@ -61,7 +63,63 @@ def run(tag, dtype, adv, drop, remat=True):
         print(f"{tag}: FAILED {str(e)[:200]}", flush=True)
 
 
+def run3d(tag, mode, dtype="bfloat16"):
+    """Full CHAP (or CPS) 3D step, LA protocol: DualDecoder3d, batch 4 of
+    (112,112,80), two-stream halves (train_ours_2D.py semantics on the 3D
+    path, trainer_3d.py)."""
+    from chap_tpu.models import net_factory_3d
+    from chap_tpu.semi.gradsim import VNET_LEVEL_PATHS
+    from chap_tpu.train.trainer_3d import build_cps3d_train_step
+
+    cfg = Config()
+    cfg.model.dtype = dtype
+    cfg.data.num_classes = 2
+    cfg.data.batch_size = 4
+    cfg.data.labeled_bs = 2
+    cfg.semi.adv_noise = cfg.semi.dropout = mode == "chap"
+    model = net_factory_3d("dualdecoder3d", 1, 2, mode="train", cfg=cfg.model)
+    opt = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations)
+    sample = jnp.zeros((4, 112, 112, 80, 1))
+    nf = cfg.model.n_filters_3d
+    sim = tuple(nf * m for m in (1, 2, 4, 8, 16)) if mode == "chap" else ()
+    state = create_train_state(model, jax.random.PRNGKey(0), sample, opt,
+                               sim_chns=sim)
+    if mode == "chap":
+        step = build_chap_train_step(model, opt, cfg, use_nms=True,
+                                     level_paths=VNET_LEVEL_PATHS)
+    else:
+        step = build_cps3d_train_step(model, opt, cfg)
+    rng = np.random.RandomState(0)
+    label = np.zeros((4, 112, 112, 80), np.int32)
+    label[:, 30:80, 30:80, 20:60] = 1
+    image = (label / 2.0 + rng.normal(0, 0.1, label.shape)).astype(np.float32)[..., None]
+    batch = {"image": jnp.asarray(image), "label": jnp.asarray(label)}
+    try:
+        t0 = time.perf_counter()
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        print(f"{tag}: compile {time.perf_counter() - t0:.0f}s "
+              f"loss={float(m['loss']):.3f}", flush=True)
+        n = 6
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+        _ = float(m["loss"])
+        dt = (time.perf_counter() - t0) / n
+        print(f"{tag}: {dt * 1000:.0f} ms/step -> {4 / dt:.1f} patches/s/chip",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"{tag}: FAILED {str(e)[:200]}", flush=True)
+
+
+VARIANTS_3D = {
+    "3d-cps-bf16": ("cps",),
+    "3d-full-bf16": ("chap",),
+}
+
 if __name__ == "__main__":
-    names = sys.argv[1:] or list(VARIANTS)
+    names = sys.argv[1:] or list(VARIANTS) + list(VARIANTS_3D)
     for name in names:
-        run(name, *VARIANTS[name])
+        if name in VARIANTS_3D:
+            run3d(name, *VARIANTS_3D[name])
+        else:
+            run(name, *VARIANTS[name])

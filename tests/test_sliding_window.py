@@ -80,3 +80,30 @@ def test_engine_nms_removes_islands():
                          nms=True)
     assert got[3, 3, 3] == 1
     assert got[15, 15, 8] == 0
+
+
+def test_bitpacked_download_matches_unpacked():
+    """2-class label maps travel bit-packed (8 voxels/byte); the unpacked
+    result must be voxel-identical to the plain int8 path."""
+    import jax.numpy as jnp
+    from chap_tpu.eval.sliding_window import SlidingWindowEngine
+    from chap_tpu.models import net_factory_3d
+    from chap_tpu.config import ModelConfig
+
+    cfg = ModelConfig()
+    cfg.n_filters_3d = 2
+    model = net_factory_3d("vnet", 1, 2, mode="test", cfg=cfg)
+    rng = np.random.RandomState(0)
+    image = rng.rand(40, 40, 24).astype(np.float32)
+    patch = (32, 32, 16)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, *patch, 1)), train=False)
+
+    packed = SlidingWindowEngine(model, patch, sw_batch=4, pack_binary=True)
+    plain = SlidingWindowEngine(model, patch, sw_batch=4, pack_binary=False)
+    out_packed = packed.predict(variables, image, 8, 8, 2)
+    out_plain = plain.predict(variables, image, 8, 8, 2)
+    np.testing.assert_array_equal(out_packed, out_plain)
+    # packing really engaged (depth divisible by 8)
+    handle = packed.predict_async(variables, image, 8, 8, 2)
+    assert handle[-1] is True
