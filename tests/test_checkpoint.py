@@ -11,10 +11,12 @@ from chap_tpu.utils.checkpoint import CheckpointManager
 
 def test_train_state_roundtrip(tmp_path):
     cfg = Config()
-    cfg.model.feature_chns = (4, 8, 16, 16, 32)
-    model = net_factory("dualdecoder", 1, 4, cfg.model)
+    # tiniest config that still has every state component (BN stats, momentum,
+    # sim_scores): the roundtrip is about the checkpoint layer, not the model
+    cfg.model.feature_chns = (2, 2, 4, 4, 8)
+    model = net_factory("dualdecoder", 1, 2, cfg.model)
     opt = make_optimizer(0.01, 100)
-    sample = jnp.zeros((2, 32, 32, 1))
+    sample = jnp.zeros((1, 16, 16, 1))
     state = create_train_state(model, jax.random.PRNGKey(0), sample, opt,
                                sim_chns=tuple(cfg.model.feature_chns))
     state = state.replace(step=jnp.int32(7),

@@ -94,16 +94,16 @@ def test_bitpacked_download_matches_unpacked():
     cfg.n_filters_3d = 2
     model = net_factory_3d("vnet", 1, 2, mode="test", cfg=cfg)
     rng = np.random.RandomState(0)
-    image = rng.rand(40, 40, 24).astype(np.float32)
-    patch = (32, 32, 16)
+    image = rng.rand(20, 20, 16).astype(np.float32)
+    patch = (16, 16, 8)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, *patch, 1)), train=False)
 
     packed = SlidingWindowEngine(model, patch, sw_batch=4, pack_binary=True)
     plain = SlidingWindowEngine(model, patch, sw_batch=4, pack_binary=False)
-    out_packed = packed.predict(variables, image, 8, 8, 2)
-    out_plain = plain.predict(variables, image, 8, 8, 2)
+    out_packed = packed.predict(variables, image, 4, 4, 2)
+    out_plain = plain.predict(variables, image, 4, 4, 2)
     np.testing.assert_array_equal(out_packed, out_plain)
     # packing really engaged (depth divisible by 8)
-    handle = packed.predict_async(variables, image, 8, 8, 2)
+    handle = packed.predict_async(variables, image, 4, 4, 2)
     assert handle[-1] is True
