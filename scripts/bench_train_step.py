@@ -77,7 +77,7 @@ def run3d(tag, mode, dtype="bfloat16"):
     cfg.data.batch_size = 4
     cfg.data.labeled_bs = 2
     cfg.semi.adv_noise = cfg.semi.dropout = mode == "chap"
-    model = net_factory_3d("dualdecoder3d", 1, 2, mode="train", cfg=cfg.model)
+    model = net_factory_3d("dualdecoder", 1, 2, mode="train", cfg=cfg.model)
     opt = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations)
     sample = jnp.zeros((4, 112, 112, 80, 1))
     nf = cfg.model.n_filters_3d
