@@ -66,20 +66,27 @@ def run(tag, dtype, adv, drop, remat=True):
 def run3d(tag, mode, dtype="bfloat16"):
     """Full CHAP (or CPS) 3D step, LA protocol: DualDecoder3d, batch 4 of
     (112,112,80), two-stream halves (train_ours_2D.py semantics on the 3D
-    path, trainer_3d.py)."""
+    path, trainer_3d.py). CHAP_BENCH3D_BATCH overrides the batch size
+    (the tunnel's remote TPU compiler crashes on the full-CHAP graph at
+    batch 4 — see BENCH_NOTES)."""
+    import os
     from chap_tpu.models import net_factory_3d
     from chap_tpu.semi.gradsim import VNET_LEVEL_PATHS
     from chap_tpu.train.trainer_3d import build_cps3d_train_step
 
+    bs = int(os.environ.get("CHAP_BENCH3D_BATCH", "4"))
+    pd, ph, pz = (int(x) for x in os.environ.get(
+        "CHAP_BENCH3D_PATCH", "112,112,80").split(","))
     cfg = Config()
     cfg.model.dtype = dtype
     cfg.data.num_classes = 2
-    cfg.data.batch_size = 4
-    cfg.data.labeled_bs = 2
+    cfg.data.batch_size = bs
+    cfg.data.labeled_bs = bs // 2
+    cfg.optim.remat = os.environ.get("CHAP_BENCH3D_REMAT", "1") == "1"
     cfg.semi.adv_noise = cfg.semi.dropout = mode == "chap"
     model = net_factory_3d("dualdecoder", 1, 2, mode="train", cfg=cfg.model)
     opt = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations)
-    sample = jnp.zeros((4, 112, 112, 80, 1))
+    sample = jnp.zeros((bs, pd, ph, pz, 1))
     nf = cfg.model.n_filters_3d
     sim = tuple(nf * m for m in (1, 2, 4, 8, 16)) if mode == "chap" else ()
     state = create_train_state(model, jax.random.PRNGKey(0), sample, opt,
@@ -90,8 +97,8 @@ def run3d(tag, mode, dtype="bfloat16"):
     else:
         step = build_cps3d_train_step(model, opt, cfg)
     rng = np.random.RandomState(0)
-    label = np.zeros((4, 112, 112, 80), np.int32)
-    label[:, 30:80, 30:80, 20:60] = 1
+    label = np.zeros((bs, pd, ph, pz), np.int32)
+    label[:, pd // 4:3 * pd // 4, ph // 4:3 * ph // 4, pz // 4:3 * pz // 4] = 1
     image = (label / 2.0 + rng.normal(0, 0.1, label.shape)).astype(np.float32)[..., None]
     batch = {"image": jnp.asarray(image), "label": jnp.asarray(label)}
     try:
@@ -105,7 +112,7 @@ def run3d(tag, mode, dtype="bfloat16"):
             state, m = step(state, batch, jax.random.PRNGKey(i))
         _ = float(m["loss"])
         dt = (time.perf_counter() - t0) / n
-        print(f"{tag}: {dt * 1000:.0f} ms/step -> {4 / dt:.1f} patches/s/chip",
+        print(f"{tag}: {dt * 1000:.0f} ms/step -> {bs / dt:.1f} patches/s/chip",
               flush=True)
     except Exception as e:  # noqa: BLE001
         print(f"{tag}: FAILED {str(e)[:200]}", flush=True)
