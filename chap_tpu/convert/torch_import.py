@@ -87,6 +87,17 @@ def unet2d_rules() -> List[Rule]:
     return _encoder2d() + _decoder2d("decoder1", "decoder", bilinear=True)
 
 
+def unetp_rules() -> List[Rule]:
+    """unet.py UNet_plus (:554-620): encoder + additive-skip Decoder_plus.
+    UpBlock_plus keeps UpBlock's parameterized layout — conv1x1 / up / conv
+    (unet.py:101-123; only the fusion op differs) — so the UpBlock rule
+    emitter transfers directly. The projector is a parameterless AvgPool.
+    Flax-side names are the compact module's auto names (UNetPlus is
+    @nn.compact: Encoder_0 / DecoderPlus_0)."""
+    return (_encoder2d("encoder", "Encoder_0")
+            + _decoder2d("decoder", "DecoderPlus_0", bilinear=True))
+
+
 def _convblock3d(tp: str, fp: str, n_stages: int, has_norm: bool) -> List[Rule]:
     """vnet.py convBlock (:8-35): n_stages x (conv[,norm],relu)."""
     step = 3 if has_norm else 2
@@ -312,6 +323,7 @@ def swin_encoder_surgery(state_dict: Mapping[str, Any],
 _FAMILIES = {
     "dualdecoder": dualdecoder_rules,
     "unet": unet2d_rules,
+    "unetp": unetp_rules,
     "vnet": vnet_rules,
     "dualdecoder3d": dualdecoder3d_rules,
     "unet_3D": unet3d_rules,

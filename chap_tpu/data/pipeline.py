@@ -43,11 +43,19 @@ class BatchLoader:
         stop = threading.Event()
 
         def worker(batch_indices_list, slot_q):
+            # fail LOUDLY: a raising dataset must surface in the consumer, not
+            # silently kill the daemon thread and deadlock the ordered-emit
+            # loop below (the reference's DataLoader propagates worker errors,
+            # train_ours_2D.py:274)
             for bi, indices in batch_indices_list:
                 if stop.is_set():
                     return
-                samples = [self.dataset[i] for i in indices]
-                slot_q.put((bi, self._collate(samples)))
+                try:
+                    samples = [self.dataset[i] for i in indices]
+                    slot_q.put((bi, self._collate(samples)))
+                except BaseException as exc:  # noqa: BLE001
+                    slot_q.put((bi, exc))
+                    return
 
         # shard batches round-robin over workers but emit in order
         assignments = [[] for _ in range(self.num_workers)]
@@ -64,6 +72,9 @@ class BatchLoader:
             total = len(batches)
             while received < total:
                 bi, batch = out_q.get()
+                if isinstance(batch, BaseException):
+                    raise RuntimeError(
+                        f"BatchLoader worker failed on batch {bi}") from batch
                 pending[bi] = batch
                 received += 1
                 while next_bi in pending:

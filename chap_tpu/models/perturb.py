@@ -155,10 +155,16 @@ def mask_selection(rng: jax.Array, scores: jnp.ndarray, percent: float,
     (its :18,32 latent bugs); this is the shape-consistent reading: scores
     [C] or [B,C] -> mask of the same shape, 0 = dropped.
     """
+    if percent >= 1.0:
+        raise ValueError(f"mask_selection percent must be < 1 (got {percent}): "
+                         f"dropping every channel zeroes the feature map")
     squeeze = scores.ndim == 1
     s = scores[None] if squeeze else scores
     b, c = s.shape
-    drop_num = int(c * percent)
+    # drop_num == 0 (percent < 1/C) is an intentional no-op: thr is the max
+    # key and nothing exceeds it. The clamp to C-1 makes the percent>=1 edge
+    # explicit rather than relying on JAX's silent out-of-bounds index clamp.
+    drop_num = min(int(c * percent), c - 1)
     if wrs:
         lo = jnp.min(s, axis=1, keepdims=True)
         hi = jnp.max(s, axis=1, keepdims=True)

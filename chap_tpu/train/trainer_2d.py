@@ -57,11 +57,16 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
     state = replicate(mesh, state)
 
     ckpt = CheckpointManager(snapshot_path)
+    best_performance = 0.0
     if resume:
         restored = ckpt.restore_latest(state)
         if restored is not None:
             state = replicate(mesh, restored)
-            logging.info("resumed from step %d", int(state.step))
+            # restore the historical best so the first post-resume eval
+            # cannot clobber the best slot (train_ours_2D.py:428-435 gating)
+            best_performance = float(ckpt.load_meta().get("best_metric", 0.0))
+            logging.info("resumed from step %d (best %.4f)",
+                         int(state.step), best_performance)
 
     if mode == "chap":
         step_fn = build_chap_train_step(model, optimizer, cfg, use_nms=True)
@@ -81,7 +86,6 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
     predictor = make_predictor(model, cfg.eval.model_type)
 
     max_iterations = max_steps or cfg.optim.max_iterations
-    best_performance = 0.0
     data_sharding = batch_sharding(mesh, 4)
     label_sharding = batch_sharding(mesh, 3)
 
@@ -90,6 +94,7 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
                 "label": jax.device_put(batch["label"], label_sharding)}
 
     iter_num = int(state.step)
+    start_iter = iter_num
     t_start = time.time()
     while iter_num < max_iterations:
         sampler = TwoStreamBatchSampler(
@@ -104,7 +109,8 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
 
             if iter_num % cfg.run.log_every == 0:
                 scalars = {k: float(v) for k, v in metrics.items()}
-                scalars["steps_per_sec"] = iter_num / (time.time() - t_start)
+                scalars["steps_per_sec"] = (
+                    (iter_num - start_iter) / (time.time() - t_start))
                 writer.write(iter_num, scalars)
                 if "disagreement_ratio" in scalars:
                     # per-iteration CSV like train_ablation_2D.py:183-190
@@ -125,6 +131,8 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
                 if performance > best_performance or not ckpt.has("best"):
                     best_performance = performance
                     ckpt.save_best(jax.device_get(state))
+                    ckpt.save_meta({"best_metric": best_performance,
+                                    "best_iteration": iter_num})
                     writer.append_csv(
                         f"{snapshot_path}/val.csv",
                         {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),

@@ -124,11 +124,16 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
     state = replicate(mesh, state)
 
     ckpt = CheckpointManager(snapshot_path)
+    best = 0.0
     if resume:
         restored = ckpt.restore_latest(state)
         if restored is not None:
             state = replicate(mesh, restored)
-            logging.info("resumed from step %d", int(state.step))
+            # restore the historical best so the first post-resume eval
+            # cannot clobber the best slot (train_ours_2D.py:428-435 gating)
+            best = float(ckpt.load_meta().get("best_metric", 0.0))
+            logging.info("resumed from step %d (best %.4f)",
+                         int(state.step), best)
 
     if mode == "chap":
         step_fn = build_chap_train_step(model, optimizer, cfg, use_nms=True,
@@ -157,7 +162,6 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
 
     writer = MetricsWriter(snapshot_path)
     max_iterations = max_steps or cfg.optim.max_iterations
-    best = 0.0
     labeled_idx = list(range(min(labeled_cases * 4, epoch_len // 2)))
     unlabeled_idx = list(range(len(labeled_idx), epoch_len))
 
@@ -169,6 +173,7 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
                 "label": jax.device_put(batch["label"], label_sharding)}
 
     iter_num = int(state.step)
+    start_iter = iter_num
     t_start = time.time()
     while iter_num < max_iterations:
         sampler = TwoStreamBatchSampler(labeled_idx, unlabeled_idx,
@@ -182,7 +187,8 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
             iter_num += 1
             if iter_num % cfg.run.log_every == 0:
                 scalars = {k: float(v) for k, v in metrics.items()}
-                scalars["steps_per_sec"] = iter_num / (time.time() - t_start)
+                scalars["steps_per_sec"] = (
+                    (iter_num - start_iter) / (time.time() - t_start))
                 writer.write(iter_num, scalars)
                 logging.info("iter %d loss %.4f", iter_num, scalars["loss"])
             if val_ds is not None and iter_num % cfg.eval.eval_every == 0:
@@ -196,6 +202,8 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
                 if dice > best or not ckpt.has("best"):
                     best = dice
                     ckpt.save_best(jax.device_get(state))
+                    ckpt.save_meta({"best_metric": best,
+                                    "best_iteration": iter_num})
                     writer.append_csv(
                         f"{snapshot_path}/val.csv",
                         {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),

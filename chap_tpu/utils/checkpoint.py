@@ -9,8 +9,9 @@ step) under the same latest/best layout, so interrupted runs resume exactly
 """
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
 
@@ -45,8 +46,14 @@ class CheckpointManager:
 
     def restore(self, name: str, template: Any) -> Any:
         import flax.serialization as fser
-        restored = self._ckptr.restore(self._slot(name),
-                                       fser.to_state_dict(template))
+        try:
+            restored = self._ckptr.restore(self._slot(name),
+                                           fser.to_state_dict(template))
+        except BaseException:
+            # legacy layout fallback: snapshots written before the state-dict
+            # switch stored the raw TrainState pytree (tuples and all); retry
+            # with the raw template so old run directories stay restorable
+            return self._ckptr.restore(self._slot(name), template)
         return fser.from_state_dict(template, restored)
 
     def has(self, name: str) -> bool:
@@ -56,3 +63,24 @@ class CheckpointManager:
         if self.has("latest"):
             return self.restore("latest", template)
         return None
+
+    # -- run metadata sidecar (meta.json next to the slots) ------------------
+    # The best-val metric lives OUTSIDE the orbax tree on purpose: adding a
+    # field to the TrainState would change the on-disk template and break
+    # restores of older snapshots (the round-2 layout-compat lesson). A plain
+    # JSON sidecar is layout-neutral and trivially forward-compatible.
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "meta.json")
+
+    def save_meta(self, meta: Dict[str, Any]) -> None:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+
+    def load_meta(self) -> Dict[str, Any]:
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        return {}

@@ -37,3 +37,14 @@ def test_train_state_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
         if hasattr(a, "shape"):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_meta_sidecar_roundtrip(tmp_path):
+    """best-metric sidecar: layout-neutral run metadata next to the slots."""
+    ckpt = CheckpointManager(str(tmp_path))
+    assert ckpt.load_meta() == {}
+    ckpt.save_meta({"best_metric": 0.91, "best_iteration": 400})
+    ckpt2 = CheckpointManager(str(tmp_path))
+    meta = ckpt2.load_meta()
+    assert meta["best_metric"] == 0.91
+    assert meta["best_iteration"] == 400

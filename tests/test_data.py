@@ -65,3 +65,25 @@ def test_batch_loader_order_and_collation():
 def test_patients_to_slices_table():
     assert patients_to_slices("ACDC", 7) == 136
     assert patients_to_slices("synthetic", 3) == 68
+
+
+def test_batch_loader_propagates_worker_failure():
+    """A raising dataset must fail the consumer loudly, not deadlock the
+    ordered-emit loop (the reference's DataLoader propagates worker errors,
+    train_ours_2D.py:274)."""
+    import pytest
+
+    class Corrupt:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            if i == 9:
+                raise OSError("corrupt h5 block")
+            return {"image": np.zeros((8, 8), np.float32),
+                    "label": np.zeros((8, 8), np.int64)}
+
+    sampler = [[0, 1], [2, 3], [8, 9], [10, 11]]
+    loader = BatchLoader(Corrupt(), sampler, num_workers=2)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(loader)

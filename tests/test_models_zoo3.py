@@ -126,3 +126,18 @@ def test_mask_selection_wrs_prefers_high_scores():
         dropped_high += float((1 - keep)[8:].sum())
     # WRS with r**(1/score): high-score channels dominate the drops
     assert dropped_high / 64 > 3.0
+
+
+def test_mask_selection_edge_percents():
+    """ADVICE r2: drop_num==0 is a documented no-op; percent close to 1 drops
+    C-1 channels (explicit clamp, not JAX's silent index clamp); percent>=1
+    raises."""
+    from chap_tpu.models.perturb import mask_selection
+    rng = jax.random.PRNGKey(0)
+    scores = jnp.arange(8.0)
+    keep0 = mask_selection(rng, scores, percent=0.05, wrs=False)
+    np.testing.assert_array_equal(np.asarray(keep0), np.ones(8))
+    keep_hi = mask_selection(rng, scores, percent=0.999, wrs=False)
+    assert float(keep_hi.sum()) == 1.0   # C-1 = 7 dropped
+    with pytest.raises(ValueError, match="percent"):
+        mask_selection(rng, scores, percent=1.0)

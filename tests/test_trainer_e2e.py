@@ -118,3 +118,34 @@ def test_supervised_converges_on_phantoms(tmp_path):
     cfg.eval.eval_every = 100
     result = train(cfg, str(tmp_path), mode="supervised")
     assert result["best_dice"] > 0.85
+
+
+def test_resume_preserves_best_checkpoint(tmp_path, monkeypatch):
+    """VERDICT r2 weak #3: train with a high eval, resume with a lower eval,
+    and assert the best slot + its recorded metric are NOT clobbered (the
+    reference's best-gating, train_ours_2D.py:428-435, is monotone across
+    restarts)."""
+    import chap_tpu.train.trainer_2d as t2d
+    from chap_tpu.utils.checkpoint import CheckpointManager
+
+    scripted = iter([0.9, 0.3, 0.4])   # run1 eval, run2 (resumed) evals
+
+    def fake_eval(db_val, predictor, variables, num_classes, image_size):
+        return np.array([[next(scripted), 1.0]])
+
+    monkeypatch.setattr(t2d, "evaluate_volumes", fake_eval)
+    cfg = tiny_cfg(tmp_path)
+    cfg.optim.max_iterations = 4
+    cfg.eval.eval_every = 4
+    result = t2d.train(cfg, str(tmp_path), mode="supervised")
+    assert result["best_dice"] == 0.9
+
+    ckpt = CheckpointManager(str(tmp_path))
+    best_before = ckpt.load_meta()
+    assert best_before["best_metric"] == 0.9
+
+    cfg.optim.max_iterations = 12
+    result2 = t2d.train(cfg, str(tmp_path), mode="supervised", resume=True)
+    # both resumed evals (0.3, 0.4) are worse: best stays 0.9
+    assert result2["best_dice"] == 0.9
+    assert ckpt.load_meta() == best_before
