@@ -11,7 +11,7 @@ import logging
 import os
 import pprint
 
-from chap_tpu.config import config_to_dict, load_config
+from chap_tpu.config import apply_overrides, config_to_dict, load_config
 from chap_tpu.utils.launch import dump_config, init_save_folder, setup_logging, write_doc
 
 PROTOCOLS = {
@@ -24,19 +24,26 @@ PROTOCOLS = {
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--cfg", type=str, default=None)
-    p.add_argument("--dataset", type=str, default="LA", choices=list(PROTOCOLS))
+    p.add_argument("--cfg", type=str, default=None,
+                   help="YAML config (e.g. configs/la_chap.yml); explicit "
+                        "flags still win over YAML values")
+    p.add_argument("--dataset", type=str, default=None, choices=list(PROTOCOLS))
     p.add_argument("--root_path", type=str, default=None)
-    p.add_argument("--exp", type=str, default="cps3d")
+    p.add_argument("--exp", type=str, default=None)
     p.add_argument("--max_iterations", type=int, default=None)
-    p.add_argument("--batch_size", type=int, default=4)
-    p.add_argument("--labeled_bs", type=int, default=2)
-    p.add_argument("--labeled_num", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--labeled_bs", type=int, default=None)
+    p.add_argument("--labeled_num", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--num_classes", type=int, default=2)
-    p.add_argument("--method", type=str, default="chap", choices=["chap", "cps"],
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--method", type=str, default=None,
+                   choices=["chap", "cps", "supervised"],
                    help="chap = full method (BCP+NMS+dropout/GradSim+VAT); "
-                        "cps = plain cross-pseudo-supervision baseline")
+                        "cps = plain cross-pseudo-supervision baseline; "
+                        "supervised = fully-supervised (BraTS protocol)")
+    p.add_argument("--model", type=str, default=None,
+                   help="net_factory_3d key for --method supervised "
+                        "(e.g. unet_3D, test_3D.py:27)")
     p.add_argument("--adv_noise", action="store_true")
     p.add_argument("--dropout", action="store_true")
     p.add_argument("--comp_drop", action="store_true")
@@ -45,41 +52,62 @@ def main():
     p.add_argument("overrides", nargs="*")
     args = p.parse_args()
 
-    cfg = load_config(args.cfg, args.overrides)
-    proto = PROTOCOLS[args.dataset]
-    cfg.data.dataset = args.dataset
+    cfg = load_config(args.cfg)
+    # flags default to None so a YAML-configured run isn't silently
+    # clobbered by argparse defaults; precedence = flag > YAML > Config()
+    dataset = args.dataset or (cfg.data.dataset if cfg.data.dataset in PROTOCOLS
+                               else "LA")
+    for item in args.overrides:   # positional data.dataset= wins even here
+        if item.startswith("data.dataset="):
+            dataset = item.split("=", 1)[1]
+    proto = PROTOCOLS[dataset]
+    cfg.data.dataset = dataset
     cfg.data.patch_size_3d = proto["patch"]
     cfg.eval.stride_xy = proto["stride_xy"]
     cfg.eval.stride_z = proto["stride_z"]
-    cfg.data.num_classes = args.num_classes
-    cfg.data.batch_size = args.batch_size
-    cfg.data.labeled_bs = args.labeled_bs
+    if args.num_classes is not None:
+        cfg.data.num_classes = args.num_classes
+    if args.batch_size is not None:
+        cfg.data.batch_size = args.batch_size
+    if args.labeled_bs is not None:
+        cfg.data.labeled_bs = args.labeled_bs
+    if args.labeled_num is not None:
+        cfg.data.labeled_num = args.labeled_num
     if args.root_path:
         cfg.data.root_path = args.root_path
     if args.max_iterations:
         cfg.optim.max_iterations = args.max_iterations
     if args.seed is not None:
         cfg.run.seed = args.seed
-    cfg.run.exp = args.exp
+    if args.exp is not None:
+        cfg.run.exp = args.exp
+    if args.model is not None:
+        cfg.model.name_3d = args.model
     if args.adv_noise:
         cfg.semi.adv_noise = True
     if args.dropout:
         cfg.semi.dropout = True
     if args.comp_drop:
         cfg.semi.comp_drop = True
+    # positional key.path=value overrides win over everything, including the
+    # dataset-name protocol pinning (needed e.g. for tiny-shape smoke runs)
+    apply_overrides(cfg, args.overrides)
+    method = args.method or ("chap" if cfg.semi.adv_noise or cfg.semi.dropout
+                             else "cps")
 
-    snapshot_path = os.path.join(cfg.run.snapshot_root, args.dataset,
-                                 f"{args.exp}_{args.labeled_num}_labeled")
+    snapshot_path = os.path.join(cfg.run.snapshot_root, dataset,
+                                 f"{cfg.run.exp}_{cfg.data.labeled_num}_labeled")
     os.makedirs(snapshot_path, exist_ok=True)
-    save_dir = init_save_folder(snapshot_path, "dualdecoder3d")
+    model_dir = (cfg.model.name_3d if method == "supervised" else "dualdecoder3d")
+    save_dir = init_save_folder(snapshot_path, model_dir)
     write_doc(save_dir, args.text)
     dump_config(save_dir, config_to_dict(cfg))
     setup_logging(save_dir)
     logging.info("%s", pprint.pformat(config_to_dict(cfg)))
 
     from chap_tpu.train.trainer_3d import train
-    result = train(cfg, save_dir, labeled_cases=args.labeled_num,
-                   mode=args.method, resume=args.resume)
+    result = train(cfg, save_dir, labeled_cases=cfg.data.labeled_num,
+                   mode=method, resume=args.resume)
     logging.info("done: %s", result)
 
 

@@ -38,6 +38,7 @@ class ModelConfig:
     feature_chns: Tuple[int, ...] = (16, 32, 64, 128, 256)   # unet.py:250
     dropout: Tuple[float, ...] = (0.05, 0.1, 0.2, 0.3, 0.5)  # unet.py:251
     n_filters_3d: int = 16                # vnet.py n_filters
+    name_3d: str = "dualdecoder"          # net_factory_3d key (test_LA.py:11)
     normalization_3d: str = "batchnorm"
     dtype: str = "float32"                # compute dtype: float32 | bfloat16
     s2d_stem: bool = True                 # run the 3D full-res stage in
@@ -158,13 +159,8 @@ def update_values(src: dict, dst: Any) -> Any:
     return dst
 
 
-def load_config(yaml_path: Optional[str] = None, overrides: Optional[List[str]] = None) -> Config:
-    """Build a Config from defaults + optional YAML file + `a.b=c` CLI overrides."""
-    cfg = Config()
-    if yaml_path:
-        with open(yaml_path) as handle:
-            loaded = yaml.safe_load(handle) or {}
-        update_values(loaded, cfg)
+def apply_overrides(cfg: Config, overrides: Optional[List[str]]) -> Config:
+    """Apply `a.b=c` positional overrides (values YAML-parsed) in place."""
     for item in overrides or []:
         key, _, raw = item.partition("=")
         parsed = yaml.safe_load(raw)
@@ -174,6 +170,16 @@ def load_config(yaml_path: Optional[str] = None, overrides: Optional[List[str]] 
             node = getattr(node, part)
         update_values({parts[-1]: parsed}, node)
     return cfg
+
+
+def load_config(yaml_path: Optional[str] = None, overrides: Optional[List[str]] = None) -> Config:
+    """Build a Config from defaults + optional YAML file + `a.b=c` CLI overrides."""
+    cfg = Config()
+    if yaml_path:
+        with open(yaml_path) as handle:
+            loaded = yaml.safe_load(handle) or {}
+        update_values(loaded, cfg)
+    return apply_overrides(cfg, overrides)
 
 
 def config_to_dict(cfg: Any) -> dict:

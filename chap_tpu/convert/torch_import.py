@@ -166,6 +166,19 @@ def dualdecoder3d_rules(normalization: str = "batchnorm") -> List[Rule]:
             + _vnet_decoder("decoder2", "decoder2", has_norm, up_type=0))
 
 
+def vnet_ds_rules(normalization: str = "batchnorm") -> List[Rule]:
+    """Deep-supervised VNet: Encoder + Decoder_ds (vnet.py:241-300, same
+    parameterized layout as Decoder) + SideConv heads (:317-336). The
+    reference ships no composed model; keys assume the natural composition
+    attributes encoder/decoder/side (matching chap VNetDS)."""
+    has_norm = normalization != "none"
+    rules = (_vnet_encoder("encoder", "encoder", has_norm)
+             + _vnet_decoder("decoder", "decoder", has_norm, up_type=0))
+    for n in ("side5", "side4", "side3", "side2"):
+        rules.append((f"side.{n}", "conv", f"side/{n}"))
+    return rules
+
+
 def unet3d_rules() -> List[Rule]:
     """unet_3D.py (:20-100): UnetConv3 = conv1/conv2 Sequentials whose norms
     are InstanceNorm3d (affine=False -> no torch params; the rebuild matches,
@@ -325,6 +338,7 @@ _FAMILIES = {
     "unet": unet2d_rules,
     "unetp": unetp_rules,
     "vnet": vnet_rules,
+    "vnet_ds": vnet_ds_rules,
     "dualdecoder3d": dualdecoder3d_rules,
     "unet_3D": unet3d_rules,
     "swinunet": swinunet_rules,

@@ -102,6 +102,59 @@ def make_ds_predictor(model) -> Callable:
     return predict
 
 
+def make_adv_predictor(model, decoder: str = "model1") -> Callable:
+    """Split-model predictor (val_2D.test_single_adv:125-155): forward through
+    the shared encoder alone (the reference's separate ``net_g``), then ONE
+    decoder half (``net_f1``) — the natural eval mode for the ACAL
+    shared-encoder model. Routes via the model's forward_encoder / decoder
+    attributes (the acalnet API reconstructed from
+    train_share_encoder_2D.py:183-222)."""
+    if decoder not in ("model1", "model2"):
+        raise ValueError(decoder)
+
+    @jax.jit
+    def predict(variables, x):
+        feature = model.apply(variables, x, train=False,
+                              method=model.forward_encoder)
+
+        def decode(m, f):
+            d = m.decoder1 if decoder == "model1" else m.decoder2
+            return d(f, train=False)
+
+        out = model.apply(variables, feature, method=decode)
+        if isinstance(out, (tuple, list)):   # reference's tuple unwrap (:143)
+            out = out[0]
+        return jnp.argmax(jax.nn.softmax(out, axis=-1), axis=-1).astype(jnp.int8)
+
+    return predict
+
+
+def test_single_adv(image: np.ndarray, label: np.ndarray, model, variables,
+                    classes: int, patch_size: Sequence[int] = (256, 256),
+                    decoder: str = "model1") -> List[Tuple]:
+    """Split-model slice eval (val_2D.test_single_adv:125-155): same zoom ->
+    forward -> zoom-back protocol as test_single_volume but through
+    encoder + one decoder halves."""
+    predict = make_adv_predictor(model, decoder)
+    prediction = predict_volume(predict, variables, np.asarray(image), patch_size)
+    label = np.asarray(label)
+    return [calculate_metric_percase(prediction == c, label == c)
+            for c in range(1, classes)]
+
+
+def test_single_adv_polyp(image: np.ndarray, label: np.ndarray, model,
+                          variables, decoder: str = "model1") -> float:
+    """Split-model whole-image binary eval returning Dice via the polyp
+    F-measure recipe (val_2D.test_single_adv_polyp:187-210)."""
+    from chap_tpu.metrics.fmeasure import fmeasure_calu
+    predict = make_adv_predictor(model, decoder)
+    x = jnp.asarray(np.asarray(image, np.float32)[None])
+    if x.ndim == 3:
+        x = x[..., None]
+    pred = np.asarray(predict(variables, x))[0]
+    return fmeasure_calu(pred, np.asarray(label))[3]
+
+
 def test_single_volume_polyp(image: np.ndarray, label: np.ndarray,
                              predict: Callable, variables) -> float:
     """Whole-image binary eval returning Dice via the polyp F-measure recipe

@@ -66,17 +66,28 @@ class SlidingWindowEngine:
 
     def __init__(self, model, patch_size: Tuple[int, int, int],
                  sw_batch: int = 8, compute_dtype=jnp.float32,
-                 pack_binary: bool = True):
+                 pack_binary: bool = True, quantize_upload: bool = False):
         self.model = model
         self.patch = tuple(patch_size)
         self.sw_batch = sw_batch
         self.compute_dtype = compute_dtype
         self.pack_binary = pack_binary
+        # uint8 fixed-point host->device volume transfer with on-device
+        # dequant: HALF the bf16 payload on the upload-bound tunnel link.
+        # Medical volumes are min-max normalized from <=12-bit acquisitions;
+        # 1/255 absolute granularity sits at the same precision as the bf16
+        # 8-bit significand already accepted for compute (argmax parity is
+        # asserted by tests/test_sliding_window.py).
+        self.quantize_upload = quantize_upload
         patch = self.patch
 
-        def run(variables, volume, starts, valid, num_classes: int):
+        def run(variables, volume, scale, offset, starts, valid,
+                num_classes: int):
             shape = volume.shape
             ww, hh, dd = shape
+            # dequantize on device (no-op identity affine when the upload is
+            # not quantized: scale=1, offset=0 — same jitted program)
+            volume = volume.astype(jnp.float32) * scale + offset
             # class-FIRST accumulator layout [C,W,H,D]: keeps the big spatial
             # dims in the TPU's (sublane, lane) tiles. A class-last layout
             # would put C (e.g. 2) in the 128-wide lane dim -> 64x padded
@@ -155,7 +166,7 @@ class SlidingWindowEngine:
                 return jnp.einsum("whdk,k->whd", bits, weights).astype(jnp.uint8)
             return label.astype(jnp.int8)
 
-        self._run = jax.jit(run, static_argnums=(4,))
+        self._run = jax.jit(run, static_argnums=(6,))
 
     def predict_async(self, variables, image: np.ndarray, stride_xy: int,
                       stride_z: int, num_classes: int):
@@ -186,9 +197,21 @@ class SlidingWindowEngine:
         # payload, and the first device op casts to compute dtype anyway.
         # (np.dtype(jnp.bfloat16) resolves to the ml_dtypes numpy scalar, so
         # the cast happens host-side and the small payload is what's shipped.)
-        host_vol = image.astype(np.dtype(self.compute_dtype))
+        # With quantize_upload the payload halves AGAIN: uint8 fixed point
+        # over the volume's min-max range, dequantized on device.
+        if self.quantize_upload:
+            vmin = float(image.min())
+            vmax = float(image.max())
+            scale = (vmax - vmin) / 255.0 or 1.0
+            host_vol = np.rint((image - vmin) / scale).astype(np.uint8)
+            offset = vmin
+        else:
+            host_vol = image.astype(np.dtype(self.compute_dtype))
+            scale, offset = 1.0, 0.0
         device_map = self._run(variables, jnp.asarray(host_vol),
-                               jnp.asarray(starts), jnp.asarray(valid), num_classes)
+                               jnp.float32(scale), jnp.float32(offset),
+                               jnp.asarray(starts), jnp.asarray(valid),
+                               num_classes)
         packed = (num_classes == 2 and shape[2] % 8 == 0 and self.pack_binary)
         return device_map, (w, h, d), pad_lo, any(pads), packed
 

@@ -13,3 +13,7 @@ from chap_tpu.losses.ce import (  # noqa: F401
 )
 from chap_tpu.losses.mix import mix_loss  # noqa: F401
 from chap_tpu.losses.vat import vat_loss_2d, l2_normalize_batch  # noqa: F401
+from chap_tpu.losses.worst_case import (  # noqa: F401
+    WorstCaseEstimationLoss,
+    worst_case_estimation_loss,
+)

@@ -20,7 +20,7 @@ from chap_tpu.models.unet2d import (
     UNetURPC,
 )
 from chap_tpu.models.unet3d import UNet3D
-from chap_tpu.models.vnet3d import DualDecoder3d, VNet
+from chap_tpu.models.vnet3d import DualDecoder3d, VNet, VNetDS
 from chap_tpu.models.attention3d import AttentionUNet3D
 from chap_tpu.models.voxresnet import VoxResNet
 
@@ -85,6 +85,11 @@ def net_factory_3d(net_type: str, in_chns: int, class_num: int,
         return VNet(num_classes=class_num, n_filters=cfg.n_filters_3d,
                     normalization=cfg.normalization_3d, has_dropout=has_dropout,
                     dtype=dtype, s2d_stem=getattr(cfg, "s2d_stem", True))
+    if net_type == "vnet_ds":
+        # deep-supervised VNet (vnet.py Decoder_ds:241-300 + SideConv:317-336)
+        return VNetDS(num_classes=class_num, n_filters=cfg.n_filters_3d,
+                      normalization=cfg.normalization_3d, has_dropout=has_dropout,
+                      dtype=dtype, s2d_stem=getattr(cfg, "s2d_stem", True))
     if net_type == "dualdecoder":
         return DualDecoder3d(num_classes=class_num, n_filters=cfg.n_filters_3d,
                              normalization=cfg.normalization_3d,

@@ -296,6 +296,96 @@ class VDecoder(nn.Module):
         return nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype, name="out_conv")(x)
 
 
+class VDecoderDS(nn.Module):
+    """Deep-supervision decoder (vnet.py Decoder_ds:241-300): same additive-
+    skip structure as VDecoder but returns (out_seg, stage_feats) where
+    stage_feats = [x5, x6, x7, x8] — the bottleneck plus the three coarsest
+    decoder stages — for SideConv deep-supervision heads."""
+    num_classes: int
+    n_filters: int = 16
+    normalization: str = "none"
+    has_dropout: bool = False
+    has_residual: bool = False
+    up_type: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], *, train: bool):
+        block = ResidualConvBlock3d if self.has_residual else ConvBlock3d
+        nf = self.n_filters
+        x1, x2, x3, x4, x5 = features
+        if x1.shape[-1] == 8 * nf:     # s2d-stem skip: no s2d tail here —
+            x1 = depth_to_space_3d(x1)  # the ds decoder exposes plain feats
+        stage_feats = [x5]
+        x = UpBlock3d(8 * nf, self.normalization, self.up_type, self.dtype,
+                      name="block_five_up")(x5, train=train) + x4
+        x = block(3, 8 * nf, self.normalization, self.dtype, name="block_six")(x, train=train)
+        stage_feats.append(x)
+        x = UpBlock3d(4 * nf, self.normalization, self.up_type, self.dtype,
+                      name="block_six_up")(x, train=train) + x3
+        x = block(3, 4 * nf, self.normalization, self.dtype, name="block_seven")(x, train=train)
+        stage_feats.append(x)
+        x = UpBlock3d(2 * nf, self.normalization, self.up_type, self.dtype,
+                      name="block_seven_up")(x, train=train) + x2
+        x = block(2, 2 * nf, self.normalization, self.dtype, name="block_eight")(x, train=train)
+        stage_feats.append(x)
+        x = UpBlock3d(nf, self.normalization, self.up_type, self.dtype,
+                      name="block_eight_up")(x, train=train) + x1
+        x = block(1, nf, self.normalization, self.dtype, name="block_nine")(x, train=train)
+        if self.has_dropout and train:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 0.5, x.shape).astype(x.dtype)
+            x = x * keep / 0.5
+        out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
+                      name="out_conv")(x)
+        return out, stage_feats
+
+
+class SideConv3d(nn.Module):
+    """Deep-supervision side heads (vnet.py SideConv:317-336): 1x1x1 class
+    projections of Decoder_ds's stage feats at their NATIVE resolutions —
+    the reference defines (but never applies) an upsample member, so the
+    heads emit [x5, x6, x7, x8]-resolution logits at channel widths
+    (16,8,4,2)*n_filters."""
+    num_classes: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, stage_feats: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+        names = ("side5", "side4", "side3", "side2")
+        return [nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
+                        name=n)(f) for n, f in zip(names, stage_feats)]
+
+
+class VNetDS(nn.Module):
+    """Deep-supervised VNet: VEncoder + Decoder_ds + SideConv heads — the
+    composition the reference's deep-supervised 3D SSL variants build from
+    vnet.py:241-336 (the snapshot ships the classes but no composed model;
+    this pairs with unet_3D_dv_semi the way Decoder_ds pairs with VNet).
+    Returns (out_seg, [side5, side4, side3, side2])."""
+    num_classes: int = 2
+    n_filters: int = 16
+    normalization: str = "none"
+    has_dropout: bool = False
+    has_residual: bool = False
+    up_type: int = 0
+    dtype: jnp.dtype = jnp.float32
+    s2d_stem: bool = True
+
+    def setup(self):
+        self.encoder = VEncoder(self.n_filters, self.normalization,
+                                self.has_dropout, self.has_residual, self.dtype,
+                                self.s2d_stem)
+        self.decoder = VDecoderDS(self.num_classes, self.n_filters,
+                                  self.normalization, self.has_dropout,
+                                  self.has_residual, self.up_type, self.dtype)
+        self.side = SideConv3d(self.num_classes, self.dtype)
+
+    def __call__(self, x: jnp.ndarray, *, train: bool = False):
+        out, stage_feats = self.decoder(self.encoder(x, train=train), train=train)
+        return out, self.side(stage_feats)
+
+
 class VNet(nn.Module):
     """Single-decoder VNet, deconv decoder (vnet.py:303-315). s2d_stem runs
     the full-resolution stage in space-to-depth layout (exact; TPU fast

@@ -96,11 +96,45 @@ def build_cps3d_train_step(model, optimizer, cfg: Config):
     return jax.jit(step, donate_argnums=(0,))
 
 
+def build_supervised3d_train_step(model, optimizer, cfg: Config):
+    """Fully-supervised 3D step (the BraTS2019 protocol, test_3D.py:20-35
+    trains a plain unet_3D): dice+CE over the whole batch; dual-output models
+    average both heads."""
+    num_classes = cfg.data.num_classes
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+             ) -> StepOutput:
+        image, label = batch["image"], batch["label"]
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                image, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            if isinstance(out, (tuple, list)):
+                loss = sum(dice_ce_supervised(o, label, num_classes)
+                           for o in out) / len(out)
+            else:
+                loss = dice_ce_supervised(out, label, num_classes)
+            return loss, updates["batch_stats"]
+
+        (loss, bstats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=bstats, opt_state=opt_state)
+        return StepOutput(new_state, {"loss": loss, "sup_loss": loss})
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
           labeled_cases: int = 8, mode: str = "chap",
           resume: bool = False) -> dict:
     """mode: "chap" = full CHAP method (BCP+NMS+dropout/GradSim+VAT),
-    "cps" = plain cross-pseudo-supervision baseline."""
+    "cps" = plain cross-pseudo-supervision baseline,
+    "supervised" = fully-supervised (BraTS protocol; model = cfg.model.name_3d)."""
     patch = tuple(cfg.data.patch_size_3d)
     rng = jax.random.PRNGKey(cfg.run.seed)
     nf = cfg.model.n_filters_3d
@@ -111,7 +145,8 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
     assert cfg.data.batch_size % n_dev == 0, \
         f"global batch {cfg.data.batch_size} must divide over {n_dev} devices"
 
-    model = net_factory_3d("dualdecoder", cfg.data.in_chns, cfg.data.num_classes,
+    model_name = cfg.model.name_3d if mode == "supervised" else "dualdecoder"
+    model = net_factory_3d(model_name, cfg.data.in_chns, cfg.data.num_classes,
                            mode="train", cfg=cfg.model)
     optimizer = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations,
                                cfg.optim.momentum, cfg.optim.weight_decay,
@@ -140,6 +175,8 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
                                         level_paths=VNET_LEVEL_PATHS)
     elif mode == "cps":
         step_fn = build_cps3d_train_step(model, optimizer, cfg)
+    elif mode == "supervised":
+        step_fn = build_supervised3d_train_step(model, optimizer, cfg)
     else:
         raise ValueError(f"unknown 3D trainer mode {mode!r}")
 

@@ -80,3 +80,28 @@ def test_eval_protocol_matches_reference_loop():
         pred = (sl > 0.5).astype(np.int64)
         want[i] = nd_zoom(pred.astype(np.float32), (100 / 64, 90 / 64), order=0)
     np.testing.assert_array_equal(got, want.astype(np.int32))
+
+
+def test_adv_split_model_eval_matches_joint_forward():
+    """val_2D.test_single_adv (:125-155): encoder + one-decoder halves must
+    produce exactly the joint forward's model1/model2 predictions (same
+    weights, same routing — only the call structure differs)."""
+    import chap_tpu.eval.eval2d as e2
+    model, variables = make_model()
+    rng = np.random.RandomState(1)
+    image = rng.rand(3, 48, 48).astype(np.float32)
+    label = (image > 0.6).astype(np.int32)
+
+    for which in ("model1", "model2"):
+        joint = e2.make_predictor(model, which)
+        adv = e2.make_adv_predictor(model, which)
+        x = jnp.asarray(image[..., None])
+        np.testing.assert_array_equal(np.asarray(joint(variables, x)),
+                                      np.asarray(adv(variables, x)))
+
+    m = e2.test_single_adv(image, label, model, variables, classes=2,
+                           patch_size=(64, 64))
+    assert len(m) == 1 and len(m[0]) == 2
+
+    d = e2.test_single_adv_polyp(image[0], label[0], model, variables)
+    assert 0.0 <= d <= 1.0

@@ -147,3 +147,34 @@ def test_vat_power_iteration_finds_adversarial_direction():
         a1, a2 = apply_fn(x + 6.0 * d)
         rand_divs.append(float(_divergence(a1, a2, soft1, soft2, mask, "kl")))
     assert vat > max(rand_divs)
+
+
+def test_worst_case_estimation_loss_semantics():
+    """Reconstructed WorstCaseEstimationLoss (train_share_encoder_2D.py:197,
+    constructed-only in the reference): labeled term rewards agreement with
+    the main head, unlabeled term rewards DISagreement — an adversarial head
+    that copies the main head on unlabeled data must cost MORE than one that
+    contradicts it."""
+    import jax
+    import jax.numpy as jnp
+    from chap_tpu.losses import WorstCaseEstimationLoss
+
+    rng = np.random.RandomState(0)
+    y_l = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32) * 3)
+    y_u = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32) * 3)
+    crit = WorstCaseEstimationLoss("ce")
+
+    agree = crit(y_l, y_l, y_u, y_u)                 # adv == main everywhere
+    disagree_u = crit(y_l, y_l, y_u, -y_u)           # adv contradicts on unlabeled
+    assert float(disagree_u) < float(agree)
+    disagree_l = crit(y_l, -y_l, y_u, -y_u)          # ...and flips labeled too
+    assert float(disagree_l) > float(disagree_u)     # labeled term punishes it
+
+    # mse labeled variant runs and differentiates
+    crit_mse = WorstCaseEstimationLoss("mse")
+    g = jax.grad(lambda a: crit_mse(y_l, a, y_u, y_u))(y_l)
+    assert np.isfinite(np.asarray(g)).all()
+
+    import pytest
+    with pytest.raises(ValueError):
+        WorstCaseEstimationLoss("dice")

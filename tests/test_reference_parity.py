@@ -384,3 +384,73 @@ def test_voxresnet_matches_reference(torch_unet_module):
         out_t = ref(xt)
     out_t = np.transpose(out_t.numpy(), (0, 2, 3, 4, 1))
     np.testing.assert_allclose(np.asarray(out_j), out_t, atol=3e-4, rtol=3e-3)
+
+
+def test_vnet_ds_sideconv_matches_reference(torch_unet_module):
+    """Decoder_ds (vnet.py:241-300) + SideConv (vnet.py:317-336) weight-copy
+    parity: same additive-skip decode as VNet plus the returned stage feats
+    and their 1x1x1 side heads (native resolutions — the reference never
+    applies its upsample member)."""
+    import torch
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    from chap_tpu.models.vnet3d import VNetDS
+
+    ref_vnet = importlib.import_module("networks.vnet")
+    torch.manual_seed(0)
+    ref_enc = ref_vnet.Encoder(n_channels=1, n_classes=2, n_filters=16,
+                               normalization="batchnorm", has_dropout=False)
+    ref_dec = ref_vnet.Decoder_ds(n_channels=1, n_classes=2, n_filters=16,
+                                  normalization="batchnorm", has_dropout=False,
+                                  up_type=0)
+    ref_side = ref_vnet.SideConv(n_classes=2)
+    for m in (ref_enc, ref_dec, ref_side):
+        m.eval()
+
+    model = VNetDS(num_classes=2, n_filters=16, normalization="batchnorm",
+                   has_dropout=False, up_type=0)
+    x_np = np.random.RandomState(0).rand(1, 32, 32, 16, 1).astype(np.float32)
+    import jax
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x_np), train=False)
+    params = jax.tree.map(np.asarray, _to_mutable(variables["params"]))
+    stats = jax.tree.map(np.asarray, _to_mutable(variables["batch_stats"]))
+
+    enc_p, enc_s = params["encoder"], stats["encoder"]
+    stages = {"block_one": 1, "block_two": 2, "block_three": 3,
+              "block_four": 3, "block_five": 3}
+    for name, n in stages.items():
+        _copy_convblock3d(enc_p[name], enc_s[name], getattr(ref_enc, name), n)
+    for name in ["block_one_dw", "block_two_dw", "block_three_dw", "block_four_dw"]:
+        _copy_down3d(enc_p[name], enc_s[name], getattr(ref_enc, name))
+
+    dec_p, dec_s = params["decoder"], stats["decoder"]
+    dstages = {"block_six": 3, "block_seven": 3, "block_eight": 2, "block_nine": 1}
+    for name, n in dstages.items():
+        _copy_convblock3d(dec_p[name], dec_s[name], getattr(ref_dec, name), n)
+    for name in ["block_five_up", "block_six_up", "block_seven_up", "block_eight_up"]:
+        _copy_up3d_deconv(dec_p[name], dec_s[name], getattr(ref_dec, name))
+    dec_p["out_conv"]["kernel"] = np.transpose(
+        ref_dec.out_conv.weight.detach().numpy(), (2, 3, 4, 1, 0))
+    dec_p["out_conv"]["bias"] = ref_dec.out_conv.bias.detach().numpy()
+    for n in ("side5", "side4", "side3", "side2"):
+        tc = getattr(ref_side, n)
+        params["side"][n]["kernel"] = np.transpose(
+            tc.weight.detach().numpy(), (2, 3, 4, 1, 0))
+        params["side"][n]["bias"] = tc.bias.detach().numpy()
+
+    out_j, sides_j = model.apply({"params": params, "batch_stats": stats},
+                                 jnp.asarray(x_np), train=False)
+    with torch.no_grad():
+        xt = torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3)))
+        out_t, feats_t = ref_dec(ref_enc(xt))
+        sides_t = ref_side(feats_t)
+    np.testing.assert_allclose(
+        np.asarray(out_j), np.transpose(out_t.numpy(), (0, 2, 3, 4, 1)),
+        atol=3e-4, rtol=2e-3)
+    assert len(sides_j) == 4
+    for sj, st in zip(sides_j, sides_t):
+        np.testing.assert_allclose(
+            np.asarray(sj), np.transpose(st.numpy(), (0, 2, 3, 4, 1)),
+            atol=3e-4, rtol=2e-3)

@@ -107,3 +107,28 @@ def test_bitpacked_download_matches_unpacked():
     # packing really engaged (depth divisible by 8)
     handle = packed.predict_async(variables, image, 4, 4, 2)
     assert handle[-1] is True
+
+
+def test_quantized_upload_argmax_parity():
+    """uint8 fixed-point upload + on-device dequant: the label map must agree
+    with the float path except at decision-boundary voxels (<0.5% on a real
+    VNet over a random volume; exactly equal for a thresholded toy away from
+    the threshold's quantization bin)."""
+    from chap_tpu.models import net_factory_3d
+    from chap_tpu.config import ModelConfig
+
+    cfg = ModelConfig()
+    cfg.n_filters_3d = 2
+    model = net_factory_3d("vnet", 1, 2, mode="test", cfg=cfg)
+    rng = np.random.RandomState(0)
+    image = rng.rand(20, 20, 16).astype(np.float32)
+    patch = (16, 16, 8)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, *patch, 1)), train=False)
+
+    quant = SlidingWindowEngine(model, patch, sw_batch=4, quantize_upload=True)
+    plain = SlidingWindowEngine(model, patch, sw_batch=4, quantize_upload=False)
+    out_q = quant.predict(variables, image, 4, 4, 2)
+    out_p = plain.predict(variables, image, 4, 4, 2)
+    mismatch = float((out_q != out_p).mean())
+    assert mismatch < 0.005, mismatch
