@@ -51,7 +51,12 @@ def main() -> None:
     n_patches = compute_grid(volume.shape, patch, stride_xy, stride_z).shape[0]
 
     engine = SlidingWindowEngine(model, patch, sw_batch=sw_batch,
-                                 compute_dtype=jnp.bfloat16)
+                                 compute_dtype=jnp.bfloat16,
+                                 quantize_upload=True)  # uint8 fixed-point
+                                 # upload + on-device dequant: the upload is
+                                 # the last non-overlapped tunnel IO; same-
+                                 # window A/B 287 -> 421 p/s (argmax parity
+                                 # tested in tests/test_sliding_window.py)
     # warmup: compile + prime the device->host channel (first transfer and
     # first minutes through the tunnel are erratically slow)
     for _ in range(2):
@@ -66,7 +71,7 @@ def main() -> None:
     # swings (observed 30 MB/s <-> ~3 MB/s over minutes).
     repeats = 8
     best_dt = float("inf")
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         handles = [engine.predict_async(variables, volume, stride_xy, stride_z,
                                         num_classes) for _ in range(repeats)]
