@@ -41,6 +41,9 @@ class ModelConfig:
     name_3d: str = "dualdecoder"          # net_factory_3d key (test_LA.py:11)
     normalization_3d: str = "batchnorm"
     dtype: str = "float32"                # compute dtype: float32 | bfloat16
+    s2d_stage2: bool = False              # 3D stage-2 s2d residency: k4s2
+                                          # fused convs for the 32-ch stage
+                                          # (exact; inference engines enable)
     s2d_stem: bool = True                 # run the 3D full-res stage in
                                           # space-to-depth layout (exact TPU
                                           # fast path, ops/s2d.py)

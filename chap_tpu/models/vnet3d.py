@@ -14,8 +14,8 @@ import jax.numpy as jnp
 from chap_tpu.models.layers import upsample2x_trilinear, upsample2x_nearest
 from chap_tpu.ops.s2d import (conv3d, depth_to_space_3d, phase_view,
                               s2d_conv_kernel, s2d_deconv_kernel,
-                              s2d_down_kernel, s2d_pointwise_kernel,
-                              space_to_depth_3d)
+                              s2d_down_kernel, s2d_out_conv_kernel,
+                              s2d_pointwise_kernel, space_to_depth_3d)
 
 
 def _norm(normalization: str, train: bool, dtype):
@@ -57,6 +57,34 @@ class _S2dConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         w2 = s2d_conv_kernel(kernel.astype(self.dtype))
         y = conv3d(xs.astype(self.dtype), w2)
+        return y + jnp.tile(bias.astype(self.dtype), 8)
+
+
+class _S2dFusedConv(nn.Module):
+    """Stride-1 odd-k conv EMITTING the s2d layout: a stride-2 kernel-(k+1)
+    conv with trace-time rearranged weights (ops/s2d.py s2d_out_conv_kernel).
+    The fast path for narrow-channel stages (Co<=32: 8x wider output lanes
+    for 2.37x the FLOPs). With s2d_in the input arrives s2d and the
+    depth_to_space relayout fuses into the conv's gather (measured: the
+    fused pair costs ~2 ms over the conv alone vs ~13 ms standalone).
+    nn.Conv-compatible params."""
+    features: int
+    s2d_in: bool = False
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        ci = x.shape[-1] // (8 if self.s2d_in else 1)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, k, ci, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.s2d_in:
+            x = depth_to_space_3d(x)
+        w4 = s2d_out_conv_kernel(kernel.astype(self.dtype))
+        r = (k - 1) // 2
+        y = conv3d(x.astype(self.dtype), w4, (2, 2, 2), [(r, r)] * 3)
         return y + jnp.tile(bias.astype(self.dtype), 8)
 
 
@@ -115,12 +143,18 @@ class ConvBlock3d(nn.Module):
     out_channels: int
     normalization: str = "none"
     dtype: jnp.dtype = jnp.float32
-    s2d: bool = False
+    s2d: bool = False          # dense s2d-space convs (input AND output s2d)
+    s2d_fused: bool = False    # k4-stride2 convs emitting s2d (see _S2dFusedConv)
+    s2d_in: bool = False       # with s2d_fused: whether the block INPUT is s2d
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         for i in range(self.n_stages):
-            if self.s2d:
+            if self.s2d_fused:
+                x = _S2dFusedConv(self.out_channels,
+                                  s2d_in=(self.s2d_in or i > 0), dtype=self.dtype,
+                                  name=f"Conv_{i}")(x)
+            elif self.s2d:
                 x = _S2dConv(self.out_channels, 3, self.dtype,
                              name=f"Conv_{i}")(x)
             else:
@@ -128,7 +162,7 @@ class ConvBlock3d(nn.Module):
                             dtype=self.dtype)(x)
             norm = _norm(self.normalization, train, self.dtype)
             if norm is not None:
-                x = _norm_maybe_s2d(norm, x, self.s2d)
+                x = _norm_maybe_s2d(norm, x, self.s2d or self.s2d_fused)
             x = nn.relu(x)
         return x
 
@@ -183,9 +217,12 @@ class UpBlock3d(nn.Module):
     mode_upsampling: int = 1
     dtype: jnp.dtype = jnp.float32
     s2d_out: bool = False          # mode 0 only: emit the s2d-layout output
+    s2d_in: bool = False           # input arrives in s2d layout
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        if self.s2d_in:
+            x = depth_to_space_3d(x)
         if self.mode_upsampling == 0:
             if self.s2d_out:
                 x = _S2dDeconv(self.out_channels, self.dtype,
@@ -217,6 +254,7 @@ class VEncoder(nn.Module):
     has_residual: bool = False
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = False
+    s2d_stage2: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> List[jnp.ndarray]:
@@ -227,6 +265,12 @@ class VEncoder(nn.Module):
         # (8*nf channels); VDecoder detects and handles it.
         use_s2d = (self.s2d_stem and not self.has_residual
                    and all(d % 2 == 0 for d in x.shape[1:4]))
+        # stage-2 s2d residency: block_two runs as k4-stride2 fused convs
+        # (the 2*nf=32-channel stage is output-lane-bound; see _S2dFusedConv)
+        # and two_dw collapses to a pointwise conv. The x2 skip is returned
+        # in s2d form (16*nf channels); VDecoder detects and handles it.
+        use_s2d2 = (self.s2d_stage2 and not self.has_residual
+                    and all(d % 4 == 0 for d in x.shape[1:4]))
         if use_s2d:
             x1 = block(1, nf, self.normalization, self.dtype, s2d=True,
                        name="block_one")(space_to_depth_3d(x), train=train)
@@ -235,8 +279,11 @@ class VEncoder(nn.Module):
         else:
             x1 = block(1, nf, self.normalization, self.dtype, name="block_one")(x, train=train)
             d1 = DownBlock3d(2 * nf, self.normalization, self.dtype, name="block_one_dw")(x1, train=train)
-        x2 = block(2, 2 * nf, self.normalization, self.dtype, name="block_two")(d1, train=train)
-        d2 = DownBlock3d(4 * nf, self.normalization, self.dtype, name="block_two_dw")(x2, train=train)
+        x2 = block(2, 2 * nf, self.normalization, self.dtype,
+                   **({"s2d_fused": True} if use_s2d2 else {}),
+                   name="block_two")(d1, train=train)
+        d2 = DownBlock3d(4 * nf, self.normalization, self.dtype, s2d_in=use_s2d2,
+                         name="block_two_dw")(x2, train=train)
         x3 = block(3, 4 * nf, self.normalization, self.dtype, name="block_three")(d2, train=train)
         d3 = DownBlock3d(8 * nf, self.normalization, self.dtype, name="block_three_dw")(x3, train=train)
         x4 = block(3, 8 * nf, self.normalization, self.dtype, name="block_four")(d3, train=train)
@@ -266,13 +313,17 @@ class VDecoder(nn.Module):
         nf = self.n_filters
         x1, x2, x3, x4, x5 = features
         # x1 arrives in s2d layout (8*nf channels) when the encoder ran the
-        # s2d stem. The deconv decoder (up_type 0) keeps the whole full-res
-        # tail in s2d space; the interpolating decoders fall back via one
-        # depth_to_space.
+        # s2d stem, x2 in s2d layout (16*nf channels) under stage-2 s2d
+        # residency. The deconv decoder (up_type 0) keeps those stages in
+        # s2d space; the interpolating decoders fall back via depth_to_space.
         x1_s2d = x1.shape[-1] == 8 * nf
         tail_s2d = x1_s2d and self.up_type == 0
         if x1_s2d and not tail_s2d:
             x1 = depth_to_space_3d(x1)
+        x2_s2d = x2.shape[-1] == 16 * nf
+        stage2_s2d = x2_s2d and self.up_type == 0
+        if x2_s2d and not stage2_s2d:
+            x2 = depth_to_space_3d(x2)
         x = UpBlock3d(8 * nf, self.normalization, self.up_type, self.dtype,
                       name="block_five_up")(x5, train=train) + x4
         x = block(3, 8 * nf, self.normalization, self.dtype, name="block_six")(x, train=train)
@@ -280,10 +331,13 @@ class VDecoder(nn.Module):
                       name="block_six_up")(x, train=train) + x3
         x = block(3, 4 * nf, self.normalization, self.dtype, name="block_seven")(x, train=train)
         x = UpBlock3d(2 * nf, self.normalization, self.up_type, self.dtype,
-                      name="block_seven_up")(x, train=train) + x2
-        x = block(2, 2 * nf, self.normalization, self.dtype, name="block_eight")(x, train=train)
+                      s2d_out=stage2_s2d, name="block_seven_up")(x, train=train) + x2
+        x = block(2, 2 * nf, self.normalization, self.dtype,
+                  **({"s2d_fused": True, "s2d_in": True} if stage2_s2d else {}),
+                  name="block_eight")(x, train=train)
         x = UpBlock3d(nf, self.normalization, self.up_type, self.dtype,
-                      s2d_out=tail_s2d, name="block_eight_up")(x, train=train) + x1
+                      s2d_out=tail_s2d, s2d_in=stage2_s2d,
+                      name="block_eight_up")(x, train=train) + x1
         x = block(1, nf, self.normalization, self.dtype, s2d=tail_s2d,
                   name="block_nine")(x, train=train)
         if self.has_dropout and train:
@@ -316,6 +370,8 @@ class VDecoderDS(nn.Module):
         x1, x2, x3, x4, x5 = features
         if x1.shape[-1] == 8 * nf:     # s2d-stem skip: no s2d tail here —
             x1 = depth_to_space_3d(x1)  # the ds decoder exposes plain feats
+        if x2.shape[-1] == 16 * nf:    # stage-2 s2d skip: same fallback
+            x2 = depth_to_space_3d(x2)
         stage_feats = [x5]
         x = UpBlock3d(8 * nf, self.normalization, self.up_type, self.dtype,
                       name="block_five_up")(x5, train=train) + x4
@@ -371,11 +427,12 @@ class VNetDS(nn.Module):
     up_type: int = 0
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = True
+    s2d_stage2: bool = False
 
     def setup(self):
         self.encoder = VEncoder(self.n_filters, self.normalization,
                                 self.has_dropout, self.has_residual, self.dtype,
-                                self.s2d_stem)
+                                self.s2d_stem, self.s2d_stage2)
         self.decoder = VDecoderDS(self.num_classes, self.n_filters,
                                   self.normalization, self.has_dropout,
                                   self.has_residual, self.up_type, self.dtype)
@@ -397,11 +454,12 @@ class VNet(nn.Module):
     has_residual: bool = False
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = True
+    s2d_stage2: bool = False
 
     def setup(self):
         self.encoder = VEncoder(self.n_filters, self.normalization,
                                 self.has_dropout, self.has_residual, self.dtype,
-                                self.s2d_stem)
+                                self.s2d_stem, self.s2d_stage2)
         self.decoder = VDecoder(self.num_classes, self.n_filters, self.normalization,
                                 self.has_dropout, self.has_residual, 0, self.dtype)
 
@@ -427,11 +485,12 @@ class DualDecoder3d(nn.Module):
     has_residual: bool = False
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = True
+    s2d_stage2: bool = False
 
     def setup(self):
         self.encoder = VEncoder(self.n_filters, self.normalization,
                                 self.has_dropout, self.has_residual, self.dtype,
-                                self.s2d_stem)
+                                self.s2d_stem, self.s2d_stage2)
         self.decoder1 = VDecoder(self.num_classes, self.n_filters, self.normalization,
                                  self.has_dropout, self.has_residual, 1, self.dtype)
         self.decoder2 = VDecoder(self.num_classes, self.n_filters, self.normalization,
@@ -447,13 +506,21 @@ class DualDecoder3d(nn.Module):
         from chap_tpu.models.perturb import perform_dropout
         from chap_tpu.ops.s2d import phase_view
 
-        x1_s2d = features[0].shape[-1] == 8 * self.n_filters
-        if x1_s2d:
-            features = [phase_view(features[0])] + list(features[1:])
+        # s2d-layout skips (x1 under the stem, x2 under stage-2 residency)
+        # are perturbed through their [...,8,C] phase views so masks/scores
+        # act on ORIGINAL channels, identically to the plain layout.
+        s2d_widths = (8 * self.n_filters, 16 * self.n_filters)
+        features = list(features)
+        is_s2d = [features[i].shape[-1] == s2d_widths[i] if i < 2 else False
+                  for i in range(len(features))]
+        for i, s in enumerate(is_s2d):
+            if s:
+                features[i] = phase_view(features[i])
         rng = self.make_rng("perturb")
         f1, f2 = perform_dropout(rng, features, dropout_level, scores,
                                  comp_dropout)
-        if x1_s2d:
-            f1[0] = f1[0].reshape(f1[0].shape[:-2] + (8 * self.n_filters,))
-            f2[0] = f2[0].reshape(f2[0].shape[:-2] + (8 * self.n_filters,))
+        for i, s in enumerate(is_s2d):
+            if s:
+                f1[i] = f1[i].reshape(f1[i].shape[:-2] + (s2d_widths[i],))
+                f2[i] = f2[i].reshape(f2[i].shape[:-2] + (s2d_widths[i],))
         return self.decoder1(f1, train=train), self.decoder2(f2, train=train)

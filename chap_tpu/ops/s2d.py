@@ -105,6 +105,47 @@ def s2d_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return wf.reshape(3, 3, 3, 8 * ci, 8 * co)
 
 
+def s2d_out_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """[k,k,k,Ci,Co] (k odd) -> [k+1,k+1,k+1,Ci,8Co]: kernel of the stride-2
+    conv computing ``s2d(conv_k(x))`` DIRECTLY from the plain-layout input.
+
+    Why it exists: a conv with Co<=32 output channels fills <=25% of the
+    TPU's 128-wide lanes, and the MXU runs it at the speed of a 32-wide
+    matmul no matter what (measured: the equivalent [V,27Ci]@[27Ci,32]
+    matmul is just as slow, while widening the output to 128 lanes is
+    nearly free). Emitting all 8 s2d phases as channels makes the output
+    8*Co wide — 2.37x the FLOPs (64 taps / 27, half-resolution grid) at
+    ~4x the issue rate, measured 16.4 -> 10.4 ms on the 32-ch LA stage.
+
+    Derivation per dim (SAME pad, cross-correlation, r=(k-1)/2): output
+    voxel 2m+q = sum_o w[o+r] x[2m+q+o]. A stride-2 kernel-(k+1) conv with
+    pad (r,r) reads input voxels 2m-r+j, j in [0,k]; matching 2m+q+o gives
+    j = q+o+r, so k4[j, ci, q*Co+co] = w[j-q, ci, co] when 0 <= j-q < k,
+    else 0. Boundary taps that would read past the original SAME pad carry
+    zero weight by the range check, so the zero pad (r,r) is exact.
+    """
+    k = w.shape[0]
+    assert k % 2 == 1, k
+    ci, co = w.shape[3], w.shape[4]
+    j = np.arange(k + 1)[:, None]
+    q = np.arange(2)[None, :]
+    idx = j - q
+    valid = (idx >= 0) & (idx < k)
+    idxc = jnp.asarray(np.clip(idx, 0, k - 1).reshape(-1))
+    wf = jnp.take(w, idxc, axis=0)
+    wf = jnp.take(wf, idxc, axis=1)
+    wf = jnp.take(wf, idxc, axis=2)
+    # [jx,qx, jy,qy, jz,qz, Ci, Co]
+    wf = wf.reshape(k + 1, 2, k + 1, 2, k + 1, 2, ci, co)
+    mask = (valid.reshape(k + 1, 2, 1, 1, 1, 1)
+            & valid.reshape(1, 1, k + 1, 2, 1, 1)
+            & valid.reshape(1, 1, 1, 1, k + 1, 2))
+    wf = wf * jnp.asarray(mask[..., None, None], wf.dtype)
+    # output channel = ((qx*2+qy)*2+qz)*Co + co (space_to_depth_3d order)
+    wf = wf.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    return wf.reshape(k + 1, k + 1, k + 1, ci, 8 * co)
+
+
 def s2d_down_kernel(w: jnp.ndarray) -> jnp.ndarray:
     """kernel=stride=2 down conv [2,2,2,Ci,Co] -> 1x1x1 kernel [1,1,1,8Ci,Co]."""
     ci, co = w.shape[3], w.shape[4]

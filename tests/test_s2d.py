@@ -118,3 +118,71 @@ def test_s2d_stem_falls_back_on_odd_dims():
     assert [f.shape for f in feats_f] == [f.shape for f in feats_p]
     for a, b in zip(feats_f, feats_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("k,ci,co", [(3, 16, 32), (3, 32, 32), (5, 4, 8)])
+def test_s2d_out_conv_kernel_exact(k, ci, co):
+    """s2d_out_conv_kernel: the stride-2 kernel-(k+1) conv must equal
+    s2d(conv_k(x)) exactly (trace-time weight rearrangement, no approx)."""
+    from chap_tpu.ops.s2d import s2d_out_conv_kernel
+    x = jnp.asarray(RNG.randn(2, 8, 12, 10, ci), jnp.float32)
+    w = jnp.asarray(RNG.randn(k, k, k, ci, co) * 0.2, jnp.float32)
+    ref = space_to_depth_3d(conv3d(x, w))
+    r = (k - 1) // 2
+    got = conv3d(x, s2d_out_conv_kernel(w), (2, 2, 2), [(r, r)] * 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_vnet_s2d_stage2_equals_plain(train):
+    """Stage-2 s2d residency (k4s2 fused convs + pointwise two_dw/seven_up)
+    is an exact transform: identical params, equal outputs AND batch-stats."""
+    x = jnp.asarray(RNG.randn(2, 16, 16, 8, 1), jnp.float32)
+    plain = VNet(num_classes=2, normalization="batchnorm", s2d_stem=True,
+                 s2d_stage2=False)
+    fast = VNet(num_classes=2, normalization="batchnorm", s2d_stem=True,
+                s2d_stage2=True)
+    vs_p, out_p, bs_p = _init_and_apply(plain, x, train)
+    if train:
+        out_f, mut = fast.apply(vs_p, x, train=True, mutable=["batch_stats"],
+                                rngs={"dropout": jax.random.PRNGKey(2)})
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                    atol=2e-5),
+            bs_p, mut["batch_stats"])
+    else:
+        out_f = fast.apply(vs_p, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), atol=5e-4)
+
+
+def test_dualdecoder3d_s2d_stage2_equals_plain():
+    """DualDecoder3d: the interpolating decoder1 falls back via
+    depth_to_space on the s2d x2 skip; the deconv decoder2 stays resident —
+    both must match the plain model with the same params."""
+    x = jnp.asarray(RNG.randn(2, 16, 16, 16, 1), jnp.float32)
+    plain = DualDecoder3d(num_classes=2, normalization="batchnorm",
+                          s2d_stem=True, s2d_stage2=False)
+    fast = DualDecoder3d(num_classes=2, normalization="batchnorm",
+                         s2d_stem=True, s2d_stage2=True)
+    vs = plain.init(jax.random.PRNGKey(0), x, train=False)
+    o1p, o2p = plain.apply(vs, x, train=False)
+    o1f, o2f = fast.apply(vs, x, train=False)
+    np.testing.assert_allclose(np.asarray(o1f), np.asarray(o1p), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(o2f), np.asarray(o2p), atol=5e-4)
+
+
+def test_s2d_stage2_perturb_forward_matches_plain():
+    """The CHAP channel-dropout forward through phase views: identical rng ->
+    identical perturbation semantics in both layouts."""
+    x = jnp.asarray(RNG.randn(2, 16, 16, 16, 1), jnp.float32)
+    kw = dict(num_classes=2, normalization="batchnorm", s2d_stem=True)
+    plain = DualDecoder3d(s2d_stage2=False, **kw)
+    fast = DualDecoder3d(s2d_stage2=True, **kw)
+    vs = plain.init(jax.random.PRNGKey(0), x, train=False)
+    rngs = {"perturb": jax.random.PRNGKey(7)}
+    o1p, o2p = plain.apply(vs, x, train=False, dropout_level=[0, 1, 2, 3, 4],
+                           rngs=rngs)
+    o1f, o2f = fast.apply(vs, x, train=False, dropout_level=[0, 1, 2, 3, 4],
+                          rngs=rngs)
+    np.testing.assert_allclose(np.asarray(o1f), np.asarray(o1p), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(o2f), np.asarray(o2p), atol=5e-4)
