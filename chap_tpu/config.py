@@ -60,6 +60,12 @@ class OptimConfig:
                                           # multi-pass CHAP step (trades ~1x
                                           # extra fwd FLOPs for O(passes) less
                                           # activation memory)
+    split_step: bool = False              # compile the CHAP step as TWO jitted
+                                          # programs (teacher+NMS / student) —
+                                          # numerically identical, halves the
+                                          # compiler's peak memory (needed to
+                                          # train the full method at the LA
+                                          # patch through the tunnel compiler)
 
 
 @dataclass

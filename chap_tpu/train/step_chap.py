@@ -44,7 +44,8 @@ class StepOutput(NamedTuple):
 
 
 def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
-                          level_paths=ENCODER_LEVEL_PATHS):
+                          level_paths=ENCODER_LEVEL_PATHS,
+                          split: bool = False):
     """Returns step(state, batch, rng) -> StepOutput, jit-compiled.
 
     batch: {'image': [B, *spatial, 1] float, 'label': [B, *spatial] int} with
@@ -56,6 +57,15 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
     level_paths: param-tree paths of the per-level encoder kernels for
     GradSim (ENCODER_LEVEL_PATHS for the 2D UNet family, VNET_LEVEL_PATHS for
     the VNet 3D family).
+
+    split: compile the step as TWO jitted programs — teacher+NMS producing
+    pseudo-labels / student update consuming them — instead of one fused
+    graph. Semantically identical (both modes call the same teacher_fn /
+    student_fn; the RNG is re-split deterministically in each program), two
+    dispatches instead of one. Exists because the tunnel-attached remote
+    XLA compiler is OOM-killed compiling the FUSED full-CHAP 3D graph at the
+    LA patch (112,112,80) — halving compiler peak memory lets the full
+    method train at the reference's flagship patch (test_LA.py:14-24).
     """
     num_classes = cfg.data.num_classes
     labeled_bs = cfg.data.labeled_bs
@@ -84,20 +94,14 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
             inner = jax.checkpoint(inner)
         return inner(params, batch_stats, x, rng)
 
-    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
-             ) -> StepOutput:
-        image, label = batch["image"], batch["label"]
-        r_teacher, r_mask, r_student, r_fp, r_vat = jax.random.split(rng, 5)
+    def teacher_fn(params, batch_stats, image: jnp.ndarray, rng: jax.Array
+                   ) -> Dict[str, jnp.ndarray]:
+        """No-grad teacher pass + largest-CC NMS -> pseudo-label bundle."""
+        r_teacher = jax.random.split(rng, 5)[0]
+        uimg_ab = image[labeled_bs:]
 
-        img_a, img_b = image[:sub_bs], image[sub_bs:labeled_bs]
-        uimg_a = image[labeled_bs:labeled_bs + sub_bs]
-        uimg_b = image[labeled_bs + sub_bs:]
-        lab_a, lab_b = label[:sub_bs], label[sub_bs:labeled_bs]
-        uimg_ab = jnp.concatenate([uimg_a, uimg_b])
-
-        # ---- teacher pass (no grad): pseudo labels + knowledge ------------
         pre_ab1, pre_ab2, bs1 = apply_model(
-            jax.lax.stop_gradient(state.params), state.batch_stats, uimg_ab,
+            jax.lax.stop_gradient(params), batch_stats, uimg_ab,
             rng=r_teacher)
         pre_ab1 = jax.lax.stop_gradient(pre_ab1)
         pre_ab2 = jax.lax.stop_gradient(pre_ab2)
@@ -115,6 +119,28 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
         ]).astype(jnp.int32)
         if use_nms:
             pseudo_all = largest_cc_batch(pseudo_all, num_classes)
+        return {"soft1": soft1, "soft2": soft2,
+                "pseudo1": pseudo1, "pseudo2": pseudo2,
+                "knowledge": knowledge, "pseudo_all": pseudo_all,
+                "batch_stats": bs1}
+
+    def student_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array, teacher: Dict[str, jnp.ndarray]
+                   ) -> StepOutput:
+        image, label = batch["image"], batch["label"]
+        _, r_mask, r_student, r_fp, r_vat = jax.random.split(rng, 5)
+
+        img_a, img_b = image[:sub_bs], image[sub_bs:labeled_bs]
+        uimg_a = image[labeled_bs:labeled_bs + sub_bs]
+        uimg_b = image[labeled_bs + sub_bs:]
+        lab_a, lab_b = label[:sub_bs], label[sub_bs:labeled_bs]
+        uimg_ab = jnp.concatenate([uimg_a, uimg_b])
+
+        soft1, soft2 = teacher["soft1"], teacher["soft2"]
+        pseudo1, pseudo2 = teacher["pseudo1"], teacher["pseudo2"]
+        knowledge = teacher["knowledge"]
+        pseudo_all = teacher["pseudo_all"]
+        bs1 = teacher["batch_stats"]
         plab_a1 = pseudo_all[:sub_bs]
         plab_b1 = pseudo_all[sub_bs:2 * sub_bs]
         plab_a2 = pseudo_all[2 * sub_bs:3 * sub_bs]
@@ -227,5 +253,29 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
             "consistency_weight": consistency_weight,
         }
         return StepOutput(new_state, metrics)
+
+    if split:
+        # two programs: the teacher never donates (reads params/stats only);
+        # the student donates the state like the fused step. The RNG is
+        # re-split identically in both programs, so the split and fused
+        # modes are numerically the same step (tests/test_step_chap_split.py).
+        teacher_jit = jax.jit(teacher_fn)
+        student_jit = jax.jit(student_fn, donate_argnums=(0,))
+
+        def step_split(state: TrainState, batch: Dict[str, jnp.ndarray],
+                       rng: jax.Array) -> StepOutput:
+            teacher = teacher_jit(state.params, state.batch_stats,
+                                  batch["image"], rng)
+            return student_jit(state, batch, rng, teacher)
+
+        step_split.teacher = teacher_jit   # exposed for compile diagnostics
+        step_split.student = student_jit
+        return step_split
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+             ) -> StepOutput:
+        teacher = teacher_fn(state.params, state.batch_stats, batch["image"],
+                             rng)
+        return student_fn(state, batch, rng, teacher)
 
     return jax.jit(step, donate_argnums=(0,))

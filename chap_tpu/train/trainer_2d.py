@@ -69,7 +69,8 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
                          int(state.step), best_performance)
 
     if mode == "chap":
-        step_fn = build_chap_train_step(model, optimizer, cfg, use_nms=True)
+        step_fn = build_chap_train_step(model, optimizer, cfg, use_nms=True,
+                                        split=cfg.optim.split_step)
     elif mode == "ablation":
         from chap_tpu.train.step_ablation import build_ablation_train_step
         step_fn = build_ablation_train_step(model, optimizer, cfg)

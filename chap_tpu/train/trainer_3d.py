@@ -172,7 +172,8 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
 
     if mode == "chap":
         step_fn = build_chap_train_step(model, optimizer, cfg, use_nms=True,
-                                        level_paths=VNET_LEVEL_PATHS)
+                                        level_paths=VNET_LEVEL_PATHS,
+                                        split=cfg.optim.split_step)
     elif mode == "cps":
         step_fn = build_cps3d_train_step(model, optimizer, cfg)
     elif mode == "supervised":

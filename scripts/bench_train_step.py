@@ -91,9 +91,11 @@ def run3d(tag, mode, dtype="bfloat16"):
     sim = tuple(nf * m for m in (1, 2, 4, 8, 16)) if mode == "chap" else ()
     state = create_train_state(model, jax.random.PRNGKey(0), sample, opt,
                                sim_chns=sim)
+    split = os.environ.get("CHAP_BENCH3D_SPLIT", "0") == "1"
     if mode == "chap":
         step = build_chap_train_step(model, opt, cfg, use_nms=True,
-                                     level_paths=VNET_LEVEL_PATHS)
+                                     level_paths=VNET_LEVEL_PATHS,
+                                     split=split)
     else:
         step = build_cps3d_train_step(model, opt, cfg)
     rng = np.random.RandomState(0)

@@ -3,8 +3,10 @@ pjit/shard_map without a TPU pod — SURVEY.md §4), deoptimized XLA compiles,
 and a two-tier suite.
 
 Tiers (this box has ONE cpu core; the full suite is compile-bound):
-  default            fast tier, target <5 min: every subsystem's cheapest
-                     meaningful tests + one 2D supervised train-step compile
+  default            fast tier, <6 min cold (measured 527 s before the
+                     round-3 trims; re-measured after them — see git log):
+                     every subsystem's cheapest meaningful tests + the
+                     FULL-BRANCH CHAP step compile at tiny shapes
   CHAP_SLOW_TESTS=1  everything: all train-step/trainer e2e compiles, the
                      full torch parity + converter matrix, the wide zoo
                      forwards (~25-40 min cold; the persistent compilation
@@ -58,7 +60,15 @@ _SLOW = {
     "test_train_steps.py::test_ablation_step_full_branches",
     "test_train_steps.py::test_chap_step_baseline_branch",
     "test_train_steps.py::test_chap_step_loss_decreases_over_steps",
-    "test_train_steps.py::test_chap_step_full_branches",
+    # (test_chap_step_full_branches is deliberately FAST-tier: the default
+    # suite must compile the flagship full-branch graph at tiny shapes)
+    "test_step_chap_split.py",
+    # 3D config smokes: brats (cheapest) stays fast as the YAML+CLI-path
+    # representative; la/pancreas compile the full-CHAP 3D step (~158 s cold)
+    "test_cli_3d_configs.py::test_la_chap_config_smoke",
+    "test_cli_3d_configs.py::test_pancreas_chap_config_smoke",
+    "test_models_zoo2.py::test_discriminators",
+    "test_models_zoo.py::test_attention_unet_3d_forward",
     # torch-reference parity matrix (the converter's dualdecoder-mcnet test
     # exercises the same weight-copy layouts fast-tier)
     "test_reference_parity.py",

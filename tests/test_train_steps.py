@@ -71,7 +71,13 @@ def test_chap_step_baseline_branch():
 
 
 def test_chap_step_full_branches():
+    """FAST-tier flagship compile: the full-branch CHAP step (teacher pass +
+    NMS + BCP + channel-dropout/GradSim + VAT) at tiny shape/batch, so the
+    repo's own default suite — not only the driver dryrun — exercises the
+    flagship graph."""
     cfg = small_cfg(adv_noise=True, dropout=True, comp_drop=True)
+    cfg.data.batch_size = 4
+    cfg.data.labeled_bs = 2
     model, opt, state = build(cfg)
     step = build_chap_train_step(model, opt, cfg, use_nms=True)
     batch = make_batch(cfg)
