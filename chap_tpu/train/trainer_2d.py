@@ -112,6 +112,15 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
                 scalars = {k: float(v) for k, v in metrics.items()}
                 scalars["steps_per_sec"] = (
                     (iter_num - start_iter) / (time.time() - t_start))
+                # GradSim score statistics: the EMA channel scores drive the
+                # dropout perturbation; their drift is the scale-stability
+                # signal the 30k-iteration protocol depends on
+                if getattr(state, "sim_scores", None):
+                    flat = np.concatenate(
+                        [np.asarray(s).ravel() for s in state.sim_scores])
+                    scalars["sim_score_mean"] = float(flat.mean())
+                    scalars["sim_score_std"] = float(flat.std())
+                    scalars["sim_score_absmax"] = float(np.abs(flat).max())
                 writer.write(iter_num, scalars)
                 if "disagreement_ratio" in scalars:
                     # per-iteration CSV like train_ablation_2D.py:183-190
