@@ -58,19 +58,45 @@ def _propagate_max(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask, jnp.maximum(labels, neigh), -1)
 
 
-def _label_mask_batch(mask: jnp.ndarray, props_per_round: int = 8,
-                      rounds_per_jump: int = 32) -> jnp.ndarray:
+def _sweep_axes(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Directional segmented-max sweeps: for every spatial axis and both
+    directions, propagate each pixel's label across its ENTIRE contiguous
+    foreground run in ONE associative scan (a window max-propagation moves
+    information 1 pixel per step; a sweep moves it the full run length).
+
+    Segmented-max combine on (value, reset): out.v = b.reset ? b.v
+    : max(a.v, b.v); out.reset = a.reset | b.reset — associative, so
+    lax.associative_scan parallelizes it in O(log n) VPU passes.
+    """
+    reset = ~mask
+
+    def combine(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, jnp.maximum(av, bv)), ar | br
+
+    out = labels
+    for axis in range(1, labels.ndim):
+        for reverse in (False, True):
+            v, _ = jax.lax.associative_scan(combine, (labels, reset),
+                                            axis=axis, reverse=reverse)
+            out = jnp.maximum(out, v)
+    return jnp.where(mask, out, -1)
+
+
+def _label_mask_batch(mask: jnp.ndarray, rounds_per_jump: int = 16) -> jnp.ndarray:
     """Connected-component labels of a [B, *spatial] bool mask: each component
     gets the max linear index it contains; background = -1.
 
-    Max-propagation (8-neighbourhood reduce_window) is nearly free on the VPU
-    (~0.5 ms for 72x256x256), so the while loop runs blocks of
-    `props_per_round` propagations with NO gathers on the common path — noisy
-    pseudo-labels converge in a few hundred props. The pointer-jump gather
-    (each pixel adopts its representative's current label; pointer-doubling
-    convergence) is expensive on TPU (~50 ms) and fires only as an escape
-    hatch every `rounds_per_jump` rounds, bounding pathological serpentine
-    components to O(log diameter) jumps.
+    Each while-loop round is one 3^ndim window max-propagation (mixes
+    diagonals / across rows) followed by full directional sweeps
+    (_sweep_axes), so a round propagates across whole horizontal/vertical
+    runs at once — compact anatomical components converge in 2-4 rounds
+    where pure window propagation needed ~diameter steps. The pointer-jump
+    gather (each pixel adopts its representative's current label;
+    pointer-doubling convergence) is expensive on TPU (~50 ms) and fires
+    only as an escape hatch every `rounds_per_jump` rounds, bounding
+    pathological serpentine components to O(log turns) jumps.
     """
     b = mask.shape[0]
     spatial = mask.shape[1:]
@@ -89,9 +115,8 @@ def _label_mask_batch(mask: jnp.ndarray, props_per_round: int = 8,
 
     def body(carry):
         labels, _, it = carry
-        new = labels
-        for _ in range(props_per_round):
-            new = _propagate_max(new, mask)
+        new = _propagate_max(labels, mask)
+        new = _sweep_axes(new, mask)
         new = jax.lax.cond(it % rounds_per_jump == rounds_per_jump - 1,
                            jump, lambda x: x, new)
         return new, labels, it + 1

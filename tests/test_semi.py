@@ -118,3 +118,30 @@ def test_memory_bank():
     for _ in range(5):
         mb.add(images, knowledge, 6)
     assert len(mb) <= 16
+
+
+def test_largest_cc_spiral_and_3d_match_host():
+    """Sweep-based CC: a serpentine component (worst case for directional
+    sweeps — information must turn many corners) and a 3D volume must still
+    match the host reference exactly (the pointer-jump escape hatch bounds
+    pathological shapes)."""
+    from chap_tpu.semi.nms import _largest_cc_host
+
+    # serpentine: connected S-curve + a separate small blob
+    seg = np.zeros((1, 32, 32), np.int32)
+    for r in range(0, 32, 4):
+        seg[0, r, :] = 1                       # horizontal bars
+    for i, r in enumerate(range(0, 28, 4)):    # alternating connectors
+        col = 31 if i % 2 == 0 else 0
+        seg[0, r:r + 5, col] = 1
+    seg[0, 2, 8:11] = 0                        # (keep bars clean)
+    seg[0, 30, 2:5] = 2                        # small second-class blob
+    got = np.asarray(largest_cc_batch(jnp.asarray(seg), 3))
+    want = _largest_cc_host(seg, 3)
+    np.testing.assert_array_equal(got, want)
+
+    rng = np.random.RandomState(3)
+    vol = (rng.rand(2, 12, 12, 12) > 0.72).astype(np.int32)
+    got = np.asarray(largest_cc_batch(jnp.asarray(vol), 2))
+    want = _largest_cc_host(vol, 2)
+    np.testing.assert_array_equal(got, want)
