@@ -108,3 +108,20 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
             yield buf.pop(0)
     while buf:
         yield buf.pop(0)
+
+
+def compact_batch(batch: dict, compute_dtype) -> dict:
+    """Shrink the host->device training-batch payload (the scarce resource on
+    tunnel-attached chips, ~30 MB/s): images ship in the model's COMPUTE
+    dtype (exact for bf16 models — the first conv casts to it anyway; f32
+    models ship f32 unchanged) and integer labels ship as uint8 (exact;
+    num_classes < 256 always). Steps cast labels back to int32 on device.
+    2.7x smaller payload for a bf16 2D CHAP batch (12.6 -> 4.7 MB)."""
+    import numpy as np
+
+    out = dict(batch)
+    out["image"] = np.asarray(batch["image"]).astype(np.dtype(compute_dtype))
+    label = np.asarray(batch["label"])
+    if np.issubdtype(label.dtype, np.integer):
+        out["label"] = label.astype(np.uint8)
+    return out

@@ -33,7 +33,10 @@ def build_ablation_train_step(model, optimizer, cfg: Config):
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
              ) -> StepOutput:
-        image, label = batch["image"], batch["label"]
+        # labels may arrive uint8 (compact host->device transfer,
+        # data/pipeline.compact_batch) — widen once on device
+        image = batch["image"]
+        label = batch["label"].astype(jnp.int32)
         r_main, r_fp, r_vat = jax.random.split(rng, 3)
 
         def loss_fn(params):

@@ -127,7 +127,10 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
     def student_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array, teacher: Dict[str, jnp.ndarray]
                    ) -> StepOutput:
-        image, label = batch["image"], batch["label"]
+        # labels may arrive uint8 (compact host->device transfer,
+        # data/pipeline.compact_batch) — widen once on device
+        image = batch["image"]
+        label = batch["label"].astype(jnp.int32)
         _, r_mask, r_student, r_fp, r_vat = jax.random.split(rng, 5)
 
         img_a, img_b = image[:sub_bs], image[sub_bs:labeled_bs]

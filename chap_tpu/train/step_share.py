@@ -99,7 +99,10 @@ def build_share_joint_step(model, opt_g, opt_f, cfg: Config):
     semi = cfg.semi
 
     def step(state: ShareTrainState, batch, rng):
-        image, label = batch["image"], batch["label"]
+        # labels may arrive uint8 (compact host->device transfer,
+        # data/pipeline.compact_batch) — widen once on device
+        image = batch["image"]
+        label = batch["label"].astype(jnp.int32)
         r_drop = rng
 
         def loss_fn(params):

@@ -20,7 +20,7 @@ import numpy as np
 
 from chap_tpu.config import Config
 from chap_tpu.data.datasets import build_datasets, patients_to_slices
-from chap_tpu.data.pipeline import BatchLoader, prefetch_to_device
+from chap_tpu.data.pipeline import BatchLoader, compact_batch, prefetch_to_device
 from chap_tpu.data.sampler import TwoStreamBatchSampler
 from chap_tpu.data.transforms import RandomGenerator
 from chap_tpu.eval.eval2d import evaluate_volumes, make_predictor
@@ -90,7 +90,10 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
     data_sharding = batch_sharding(mesh, 4)
     label_sharding = batch_sharding(mesh, 3)
 
+    compute_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+
     def shard(batch):
+        batch = compact_batch(batch, compute_dtype)
         return {"image": jax.device_put(batch["image"], data_sharding),
                 "label": jax.device_put(batch["label"], label_sharding)}
 

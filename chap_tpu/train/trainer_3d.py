@@ -20,7 +20,7 @@ import numpy as np
 
 from chap_tpu.config import Config
 from chap_tpu.data.datasets import SyntheticVolumeDataset, Volume3dDataset
-from chap_tpu.data.pipeline import BatchLoader, prefetch_to_device
+from chap_tpu.data.pipeline import BatchLoader, compact_batch, prefetch_to_device
 from chap_tpu.data.sampler import TwoStreamBatchSampler
 from chap_tpu.data.transforms3d import RandomGenerator3D
 from chap_tpu.eval.sliding_window import test_all_case
@@ -59,7 +59,10 @@ def build_cps3d_train_step(model, optimizer, cfg: Config):
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
              ) -> StepOutput:
-        image, label = batch["image"], batch["label"]
+        # labels may arrive uint8 (compact host->device transfer,
+        # data/pipeline.compact_batch) — widen once on device
+        image = batch["image"]
+        label = batch["label"].astype(jnp.int32)
         if image.shape[0] <= lbs:
             raise ValueError(
                 f"batch size {image.shape[0]} must exceed labeled_bs={lbs}: "
@@ -104,7 +107,10 @@ def build_supervised3d_train_step(model, optimizer, cfg: Config):
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
              ) -> StepOutput:
-        image, label = batch["image"], batch["label"]
+        # labels may arrive uint8 (compact host->device transfer,
+        # data/pipeline.compact_batch) — widen once on device
+        image = batch["image"]
+        label = batch["label"].astype(jnp.int32)
 
         def loss_fn(params):
             out, updates = model.apply(
@@ -206,7 +212,10 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
     data_sharding = batch_sharding(mesh, 5)
     label_sharding = batch_sharding(mesh, 4)
 
+    compute_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+
     def shard(batch):
+        batch = compact_batch(batch, compute_dtype)
         return {"image": jax.device_put(batch["image"], data_sharding),
                 "label": jax.device_put(batch["label"], label_sharding)}
 

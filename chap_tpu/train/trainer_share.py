@@ -15,7 +15,7 @@ import numpy as np
 
 from chap_tpu.config import Config
 from chap_tpu.data.datasets import build_datasets, patients_to_slices
-from chap_tpu.data.pipeline import BatchLoader, prefetch_to_device
+from chap_tpu.data.pipeline import BatchLoader, compact_batch, prefetch_to_device
 from chap_tpu.data.sampler import TwoStreamBatchSampler
 from chap_tpu.data.transforms import RandomGenerator
 from chap_tpu.eval.eval2d import evaluate_volumes, make_predictor
@@ -64,7 +64,10 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None) -> d
             cfg.data.batch_size, cfg.data.batch_size - lbs,
             seed=cfg.run.seed + iter_num)
         loader = BatchLoader(db_train, sampler, cfg.data.num_workers)
-        for batch in prefetch_to_device(loader, size=2):
+        compute_dtype = (jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+                         else jnp.float32)
+        for batch in prefetch_to_device(
+                loader, size=2, transform=lambda b: compact_batch(b, compute_dtype)):
             rng, r1, r2, r3 = jax.random.split(rng, 4)
             state, metrics, knowledge = joint_step(state, batch, r1)
             iter_num += 1
