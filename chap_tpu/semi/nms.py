@@ -174,14 +174,38 @@ def _component_sizes_matmul(flat: jnp.ndarray, num_ids: int,
     return counts.reshape(b, num_hi * k)[:, :num_ids]
 
 
+def _largest_id_sort(flat: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample id of the LARGEST component: the modal value of [B, N]
+    int32 component labels (background -1 excluded), via sort + run-length
+    scan — no histogram materialization at all.
+
+    Only the argmax of the size histogram is ever consumed, so counting
+    every id is wasted work: sort each row (backgrounds first), mark run
+    starts, recover each position's run start with a cummax, and argmax the
+    run lengths. Cost is one bitonic sort + two scans on [B, N] — in 3D
+    (N ~ 1e6 ids) this replaces a ~4 TFLOP one-hot matmul histogram whose
+    [B, N/256, 256] counts tensor dwarfs the actual component count.
+    Tie-break matches the histogram path (smallest id wins: ascending sort
+    puts the smaller id's run first and argmax takes the first maximum).
+    """
+    b, n = flat.shape
+    s = jax.lax.sort(flat, dimension=1)
+    pos = jnp.arange(n, dtype=jnp.int32)[None]
+    is_start = jnp.concatenate(
+        [jnp.ones((b, 1), bool), s[:, 1:] != s[:, :-1]], axis=1)
+    start_idx = jax.lax.cummax(jnp.where(is_start, pos, -1), axis=1)
+    run_len = jnp.where(s >= 0, pos - start_idx + 1, 0)
+    p = jnp.argmax(run_len, axis=1)
+    return jnp.take_along_axis(s, p[:, None], axis=1)[:, 0]
+
+
 def largest_cc_mask(mask: jnp.ndarray) -> jnp.ndarray:
     """[B, *spatial] bool -> bool mask of each sample's largest component."""
     b = mask.shape[0]
     n = int(np.prod(mask.shape[1:]))
     labels = _label_mask_batch(mask)
     flat = labels.reshape(b, n)
-    sizes = _component_sizes_matmul(flat, n)
-    largest_id = jnp.argmax(sizes, axis=1)
+    largest_id = _largest_id_sort(flat)
     keep = flat == largest_id[:, None]
     return keep.reshape(mask.shape) & mask
 
