@@ -112,7 +112,8 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
         knowledge = (cross_entropy_per_pixel(pre_ab1, pseudo2)
                      + cross_entropy_per_pixel(pre_ab2, pseudo1))
 
-        # largest-CC cleanup of all 4 pseudo chunks in ONE host callback
+        # largest-CC cleanup of all 4 pseudo chunks ON DEVICE, as ONE
+        # batched labeling (chap_tpu.semi.nms) — no host round-trip
         pseudo_all = jnp.concatenate([
             jnp.argmax(pre_ab1[:sub_bs], -1), jnp.argmax(pre_ab1[sub_bs:], -1),
             jnp.argmax(pre_ab2[:sub_bs], -1), jnp.argmax(pre_ab2[sub_bs:], -1),

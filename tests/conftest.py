@@ -3,8 +3,9 @@ pjit/shard_map without a TPU pod — SURVEY.md §4), deoptimized XLA compiles,
 and a two-tier suite.
 
 Tiers (this box has ONE cpu core; the full suite is compile-bound):
-  default            fast tier, <6 min cold (measured 527 s before the
-                     round-3 trims; re-measured after them — see git log):
+  default            fast tier, ~6 min cold (362 s measured on this box with
+                     a warm persistent compile cache; first-ever run pays
+                     full XLA compiles and lands ~8-9 min):
                      every subsystem's cheapest meaningful tests + the
                      FULL-BRANCH CHAP step compile at tiny shapes
   CHAP_SLOW_TESTS=1  everything: all train-step/trainer e2e compiles, the

@@ -75,6 +75,24 @@ def test_largest_cc_device_matches_host():
     np.testing.assert_array_equal(got, want)
 
 
+def test_largest_id_sort_matches_matmul_histogram():
+    """The two largest-component-id reductions must agree: argmax of the
+    exact MXU matmul histogram (_component_sizes_matmul) == the sort+run-
+    length path (_largest_id_sort) that largest_cc_mask actually uses.
+    Keeps the histogram implementation referenced so the two can't silently
+    diverge (both tie-break toward the smallest id)."""
+    from chap_tpu.semi.nms import (_component_sizes_matmul, _label_mask_batch,
+                                   _largest_id_sort)
+    rng = np.random.RandomState(1)
+    mask = rng.rand(3, 24, 24) > 0.55          # every sample has foreground
+    labels = _label_mask_batch(jnp.asarray(mask))
+    flat = labels.reshape(3, -1)
+    counts = np.asarray(_component_sizes_matmul(flat, 24 * 24))
+    want = counts.argmax(axis=1)
+    got = np.asarray(_largest_id_sort(flat))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_gradsim_update():
     chns = (4, 8)
     state = init_sim_scores(chns)
