@@ -47,6 +47,10 @@ class ModelConfig:
     s2d_stem: bool = True                 # run the 3D full-res stage in
                                           # space-to-depth layout (exact TPU
                                           # fast path, ops/s2d.py)
+    zpack_stage2: bool = False            # 3D 32-ch stages as stride-(1,1,4)
+                                          # z-packed convs: 4x output lanes,
+                                          # contiguous unpack (exact,
+                                          # ops/s2d.py zpack_conv_kernel)
 
 
 @dataclass

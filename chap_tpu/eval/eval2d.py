@@ -54,9 +54,21 @@ def _round_up(n: int, m: int) -> int:
 
 def predict_volume(predict: Callable, variables, image: np.ndarray,
                    patch_size: Sequence[int] = (256, 256),
-                   slice_batch: int = 16) -> np.ndarray:
+                   slice_batch: int = 16, mesh=None) -> np.ndarray:
     """image: [D,H,W] float -> prediction [D,H,W] int. Batched slice inference
-    with D padded to a multiple of slice_batch (static shapes, one compile)."""
+    with D padded to a multiple of slice_batch (static shapes, one compile).
+
+    With a >1-device mesh, each slice chunk is device_put with batch-dim
+    sharding: the forward runs SPMD over all chips (params are replicated by
+    the trainers), so eval during a multi-chip training run is no longer a
+    single-device serial bottleneck (SURVEY §2.3)."""
+    sharding = None
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if n_dev > 1:
+            from chap_tpu.parallel.mesh import batch_sharding
+            slice_batch = _round_up(slice_batch, n_dev)
+            sharding = batch_sharding(mesh, 4)
     d, x, y = image.shape
     slices = np.stack([resize_slice(image[i], patch_size, order=0)
                        for i in range(d)]).astype(np.float32)
@@ -68,7 +80,9 @@ def predict_volume(predict: Callable, variables, image: np.ndarray,
     # device computes ahead while earlier chunks stream back over the tunnel
     futures = []
     for start in range(0, d_pad, slice_batch):
-        chunk = jnp.asarray(slices[start:start + slice_batch][..., None])
+        chunk = slices[start:start + slice_batch][..., None]
+        chunk = (jax.device_put(chunk, sharding) if sharding is not None
+                 else jnp.asarray(chunk))
         futures.append(predict(variables, chunk))
     pred = np.concatenate([np.asarray(f) for f in futures])[:d]
     if (x, y) != tuple(patch_size):
@@ -80,10 +94,11 @@ def predict_volume(predict: Callable, variables, image: np.ndarray,
 def test_single_volume(image: np.ndarray, label: np.ndarray, predict: Callable,
                        variables, classes: int,
                        patch_size: Sequence[int] = (256, 256),
-                       full_metrics: bool = False) -> List[Tuple]:
+                       full_metrics: bool = False, mesh=None) -> List[Tuple]:
     """Per-class (dice, hd95[, asd, jc]) like val_2D.py:93-97 /
     test_2D_fully.py:81-83."""
-    prediction = predict_volume(predict, variables, np.asarray(image), patch_size)
+    prediction = predict_volume(predict, variables, np.asarray(image),
+                                patch_size, mesh=mesh)
     label = np.asarray(label)
     metric_fn = calculate_metric_percase_full if full_metrics else calculate_metric_percase
     return [metric_fn(prediction == c, label == c) for c in range(1, classes)]
@@ -169,13 +184,16 @@ def test_single_volume_polyp(image: np.ndarray, label: np.ndarray,
 
 def evaluate_volumes(dataset, predict: Callable, variables, classes: int,
                      patch_size: Sequence[int] = (256, 256),
-                     full_metrics: bool = False) -> np.ndarray:
-    """Mean per-class metrics over a volume dataset (train_ours_2D.py:407-415)."""
+                     full_metrics: bool = False, mesh=None) -> np.ndarray:
+    """Mean per-class metrics over a volume dataset (train_ours_2D.py:407-415).
+    With a >1-device mesh the slice forwards run SPMD over all chips
+    (predict_volume batch sharding); surface metrics stay host-side for
+    medpy-exact semantics."""
     total = None
     for i in range(len(dataset)):
         sample = dataset[i]
         m = np.array(test_single_volume(sample["image"], sample["label"],
                                         predict, variables, classes, patch_size,
-                                        full_metrics))
+                                        full_metrics, mesh=mesh))
         total = m if total is None else total + m
     return total / len(dataset)

@@ -66,12 +66,26 @@ class SlidingWindowEngine:
 
     def __init__(self, model, patch_size: Tuple[int, int, int],
                  sw_batch: int = 8, compute_dtype=jnp.float32,
-                 pack_binary: bool = True, quantize_upload: bool = False):
+                 pack_binary: bool = True, quantize_upload: bool = False,
+                 mesh=None):
         self.model = model
         self.patch = tuple(patch_size)
         self.sw_batch = sw_batch
         self.compute_dtype = compute_dtype
         self.pack_binary = pack_binary
+        # multi-chip: ONE volume uses ALL devices — the patch grid's batch
+        # axis is sharded over the mesh with shard_map, each device
+        # accumulates its patches' softmax into a local score/count map, and
+        # a single psum per volume merges them (SURVEY §2.3: eval rides the
+        # same mesh as training; the collective is one [C,W,H,D]+[W,H,D]
+        # reduction over ICI, not per-patch traffic)
+        self.mesh = mesh if (mesh is not None
+                             and int(np.prod(list(mesh.shape.values()))) > 1
+                             ) else None
+        if self.mesh is not None:
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            assert sw_batch % n_dev == 0, \
+                f"sw_batch {sw_batch} must divide over {n_dev} mesh devices"
         # uint8 fixed-point host->device volume transfer with on-device
         # dequant: HALF the bf16 payload on the upload-bound tunnel link.
         # Medical volumes are min-max normalized from <=12-bit acquisitions;
@@ -81,20 +95,17 @@ class SlidingWindowEngine:
         self.quantize_upload = quantize_upload
         patch = self.patch
 
-        def run(variables, volume, scale, offset, starts, valid,
-                num_classes: int):
-            shape = volume.shape
+        def accumulate(variables, vol_c, starts, valid, num_classes: int):
+            """Scan the (possibly per-device) patch grid, returning the
+            accumulated class-first score map and overlap count map."""
+            shape = vol_c.shape
             ww, hh, dd = shape
-            # dequantize on device (no-op identity affine when the upload is
-            # not quantized: scale=1, offset=0 — same jitted program)
-            volume = volume.astype(jnp.float32) * scale + offset
             # class-FIRST accumulator layout [C,W,H,D]: keeps the big spatial
             # dims in the TPU's (sublane, lane) tiles. A class-last layout
             # would put C (e.g. 2) in the 128-wide lane dim -> 64x padded
             # memory and pathological scatter bandwidth.
             score0 = jnp.zeros((num_classes,) + shape, jnp.float32)
             cnt0 = jnp.zeros(shape, jnp.float32)
-            vol_c = volume.astype(compute_dtype)
 
             def selection_matrices(s, dtype):
                 """One-hot selection matrices mapping patch coords -> volume
@@ -150,6 +161,38 @@ class SlidingWindowEngine:
 
             (score, cnt), _ = jax.lax.scan(scan_body, (score0, cnt0),
                                            (starts, valid))
+            return score, cnt
+
+        def run(variables, volume, scale, offset, starts, valid,
+                num_classes: int):
+            shape = volume.shape
+            ww, hh, dd = shape
+            # dequantize on device (no-op identity affine when the upload is
+            # not quantized: scale=1, offset=0 — same jitted program)
+            volume = volume.astype(jnp.float32) * scale + offset
+            vol_c = volume.astype(compute_dtype)
+            if self.mesh is not None:
+                # shard the patch-batch axis over every mesh axis; merge the
+                # per-device partial score/count maps with ONE psum per volume
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+                axes = (self.mesh.axis_names[0]
+                        if len(self.mesh.axis_names) == 1
+                        else tuple(self.mesh.axis_names))
+
+                def local(variables, vol_c, starts, valid):
+                    sc, ct = accumulate(variables, vol_c, starts, valid,
+                                        num_classes)
+                    return (jax.lax.psum(sc, axes), jax.lax.psum(ct, axes))
+
+                score, cnt = shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=(P(), P(), P(None, axes), P(None, axes)),
+                    out_specs=(P(), P()), check_rep=False,
+                )(variables, vol_c, starts, valid)
+            else:
+                score, cnt = accumulate(variables, vol_c, starts, valid,
+                                        num_classes)
             label = jnp.argmax(score / jnp.maximum(cnt, 1e-8)[None],
                                axis=0)
             # int8 result: the device->host path is the scarce resource
@@ -250,10 +293,15 @@ def test_all_case(model, variables, dataset, num_classes: int,
                   patch_size: Tuple[int, int, int], stride_xy: int,
                   stride_z: int, sw_batch: int = 8, nms: bool = False,
                   full_metrics: bool = False,
-                  per_case: Optional[List] = None) -> np.ndarray:
+                  per_case: Optional[List] = None, mesh=None) -> np.ndarray:
     """Mean per-class metrics over an h5 case dataset (val_3D.py:91-107;
-    full_metrics adds ravd/asd like test_3D_util.py:147-152)."""
-    engine = SlidingWindowEngine(model, patch_size, sw_batch)
+    full_metrics adds ravd/asd like test_3D_util.py:147-152). With a >1-device
+    mesh, each volume's patch grid is sharded over all chips (see
+    SlidingWindowEngine)."""
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        sw_batch = ((sw_batch + n_dev - 1) // n_dev) * n_dev
+    engine = SlidingWindowEngine(model, patch_size, sw_batch, mesh=mesh)
     metric_fn = cal_metric_3d_full if full_metrics else cal_metric_3d
     width = 4 if full_metrics else 2
     total = np.zeros((num_classes - 1, width))

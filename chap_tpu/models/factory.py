@@ -85,19 +85,22 @@ def net_factory_3d(net_type: str, in_chns: int, class_num: int,
         return VNet(num_classes=class_num, n_filters=cfg.n_filters_3d,
                     normalization=cfg.normalization_3d, has_dropout=has_dropout,
                     dtype=dtype, s2d_stem=getattr(cfg, "s2d_stem", True),
-                    s2d_stage2=getattr(cfg, "s2d_stage2", False))
+                    s2d_stage2=getattr(cfg, "s2d_stage2", False),
+                    zpack_stage2=getattr(cfg, "zpack_stage2", False))
     if net_type == "vnet_ds":
         # deep-supervised VNet (vnet.py Decoder_ds:241-300 + SideConv:317-336)
         return VNetDS(num_classes=class_num, n_filters=cfg.n_filters_3d,
                       normalization=cfg.normalization_3d, has_dropout=has_dropout,
                       dtype=dtype, s2d_stem=getattr(cfg, "s2d_stem", True),
-                      s2d_stage2=getattr(cfg, "s2d_stage2", False))
+                      s2d_stage2=getattr(cfg, "s2d_stage2", False),
+                      zpack_stage2=getattr(cfg, "zpack_stage2", False))
     if net_type == "dualdecoder":
         return DualDecoder3d(num_classes=class_num, n_filters=cfg.n_filters_3d,
                              normalization=cfg.normalization_3d,
                              has_dropout=has_dropout, dtype=dtype,
                              s2d_stem=getattr(cfg, "s2d_stem", True),
-                             s2d_stage2=getattr(cfg, "s2d_stage2", False))
+                             s2d_stage2=getattr(cfg, "s2d_stage2", False),
+                      zpack_stage2=getattr(cfg, "zpack_stage2", False))
     if net_type == "resvnet":
         from chap_tpu.models.resvnet import ResVNet
         return ResVNet(num_classes=class_num, has_dropout=has_dropout, dtype=dtype)

@@ -15,7 +15,8 @@ from chap_tpu.models.layers import upsample2x_trilinear, upsample2x_nearest
 from chap_tpu.ops.s2d import (conv3d, depth_to_space_3d, phase_view,
                               s2d_conv_kernel, s2d_deconv_kernel,
                               s2d_down_kernel, s2d_out_conv_kernel,
-                              s2d_pointwise_kernel, space_to_depth_3d)
+                              s2d_pointwise_kernel, space_to_depth_3d,
+                              zpack_conv_kernel, zpack_unpack)
 
 
 def _norm(normalization: str, train: bool, dtype):
@@ -88,6 +89,31 @@ class _S2dFusedConv(nn.Module):
         return y + jnp.tile(bias.astype(self.dtype), 8)
 
 
+class _ZPackConv(nn.Module):
+    """Stride-1 3^3 conv computing 4 consecutive z outputs as channel groups
+    (ops/s2d.py zpack_conv_kernel): widens a Co<=32 output to 4*Co MXU lanes
+    for 2x the FLOPs, and the unpack back to plain layout is a contiguous
+    reshape (no transpose). nn.Conv-compatible params."""
+    features: int
+    factor: int = 4
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        ci = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, k, ci, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        wz = zpack_conv_kernel(kernel.astype(self.dtype), self.factor)
+        r = (k - 1) // 2
+        y = conv3d(x.astype(self.dtype), wz, (1, 1, self.factor),
+                   [(r, r)] * 3)
+        y = y + jnp.tile(bias.astype(self.dtype), self.factor)
+        return zpack_unpack(y, self.features)
+
+
 class _S2dDownConv(nn.Module):
     """kernel=stride=2 down conv on s2d input == a pure 1x1x1 conv; output is
     the plain (not s2d) half-resolution tensor. nn.Conv-compatible params."""
@@ -146,6 +172,7 @@ class ConvBlock3d(nn.Module):
     s2d: bool = False          # dense s2d-space convs (input AND output s2d)
     s2d_fused: bool = False    # k4-stride2 convs emitting s2d (see _S2dFusedConv)
     s2d_in: bool = False       # with s2d_fused: whether the block INPUT is s2d
+    zpack: bool = False        # z-packed convs for narrow outputs (_ZPackConv)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -157,6 +184,10 @@ class ConvBlock3d(nn.Module):
             elif self.s2d:
                 x = _S2dConv(self.out_channels, 3, self.dtype,
                              name=f"Conv_{i}")(x)
+            elif (self.zpack and x.shape[3] % 4 == 0
+                  and self.out_channels <= 32):
+                x = _ZPackConv(self.out_channels, 4, 3, self.dtype,
+                               name=f"Conv_{i}")(x)
             else:
                 x = nn.Conv(self.out_channels, (3, 3, 3), padding=1,
                             dtype=self.dtype)(x)
@@ -255,6 +286,7 @@ class VEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = False
     s2d_stage2: bool = False
+    zpack_stage2: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> List[jnp.ndarray]:
@@ -279,8 +311,11 @@ class VEncoder(nn.Module):
         else:
             x1 = block(1, nf, self.normalization, self.dtype, name="block_one")(x, train=train)
             d1 = DownBlock3d(2 * nf, self.normalization, self.dtype, name="block_one_dw")(x1, train=train)
+        use_zpack = (self.zpack_stage2 and not use_s2d2
+                     and not self.has_residual)
         x2 = block(2, 2 * nf, self.normalization, self.dtype,
-                   **({"s2d_fused": True} if use_s2d2 else {}),
+                   **({"s2d_fused": True} if use_s2d2 else
+                      {"zpack": True} if use_zpack else {}),
                    name="block_two")(d1, train=train)
         d2 = DownBlock3d(4 * nf, self.normalization, self.dtype, s2d_in=use_s2d2,
                          name="block_two_dw")(x2, train=train)
@@ -306,6 +341,7 @@ class VDecoder(nn.Module):
     has_residual: bool = False
     up_type: int = 0
     dtype: jnp.dtype = jnp.float32
+    zpack_stage2: bool = False
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], *, train: bool) -> jnp.ndarray:
@@ -333,7 +369,9 @@ class VDecoder(nn.Module):
         x = UpBlock3d(2 * nf, self.normalization, self.up_type, self.dtype,
                       s2d_out=stage2_s2d, name="block_seven_up")(x, train=train) + x2
         x = block(2, 2 * nf, self.normalization, self.dtype,
-                  **({"s2d_fused": True, "s2d_in": True} if stage2_s2d else {}),
+                  **({"s2d_fused": True, "s2d_in": True} if stage2_s2d else
+                     {"zpack": True} if (self.zpack_stage2
+                                         and not self.has_residual) else {}),
                   name="block_eight")(x, train=train)
         x = UpBlock3d(nf, self.normalization, self.up_type, self.dtype,
                       s2d_out=tail_s2d, s2d_in=stage2_s2d,
@@ -428,11 +466,13 @@ class VNetDS(nn.Module):
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = True
     s2d_stage2: bool = False
+    zpack_stage2: bool = False
 
     def setup(self):
         self.encoder = VEncoder(self.n_filters, self.normalization,
                                 self.has_dropout, self.has_residual, self.dtype,
-                                self.s2d_stem, self.s2d_stage2)
+                                self.s2d_stem, self.s2d_stage2,
+                                self.zpack_stage2)
         self.decoder = VDecoderDS(self.num_classes, self.n_filters,
                                   self.normalization, self.has_dropout,
                                   self.has_residual, self.up_type, self.dtype)
@@ -455,11 +495,13 @@ class VNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = True
     s2d_stage2: bool = False
+    zpack_stage2: bool = False
 
     def setup(self):
         self.encoder = VEncoder(self.n_filters, self.normalization,
                                 self.has_dropout, self.has_residual, self.dtype,
-                                self.s2d_stem, self.s2d_stage2)
+                                self.s2d_stem, self.s2d_stage2,
+                                self.zpack_stage2)
         self.decoder = VDecoder(self.num_classes, self.n_filters, self.normalization,
                                 self.has_dropout, self.has_residual, 0, self.dtype)
 
@@ -486,11 +528,13 @@ class DualDecoder3d(nn.Module):
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = True
     s2d_stage2: bool = False
+    zpack_stage2: bool = False
 
     def setup(self):
         self.encoder = VEncoder(self.n_filters, self.normalization,
                                 self.has_dropout, self.has_residual, self.dtype,
-                                self.s2d_stem, self.s2d_stage2)
+                                self.s2d_stem, self.s2d_stage2,
+                                self.zpack_stage2)
         self.decoder1 = VDecoder(self.num_classes, self.n_filters, self.normalization,
                                  self.has_dropout, self.has_residual, 1, self.dtype)
         self.decoder2 = VDecoder(self.num_classes, self.n_filters, self.normalization,

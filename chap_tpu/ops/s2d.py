@@ -146,6 +146,51 @@ def s2d_out_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return wf.reshape(k + 1, k + 1, k + 1, ci, 8 * co)
 
 
+def zpack_conv_kernel(w: jnp.ndarray, factor: int = 4) -> jnp.ndarray:
+    """[kx,ky,kz,Ci,Co] (kz odd) -> [kx,ky,kz+factor-1,Ci,factor*Co]: kernel
+    of the stride-(1,1,factor) conv computing `factor` consecutive z outputs
+    as channel groups — output channel q*Co+co holds plain-layout output
+    z = factor*g + q.
+
+    Why one axis only: a Co=32 conv fills 32 of the 128 MXU lanes and runs
+    at the speed of a 32-wide matmul (see s2d_out_conv_kernel). Packing
+    ALONG Z alone widens the output to factor*Co lanes for only
+    (kz+factor-1)/kz x the FLOPs (1.67x less than full-s2d's 2.37x at
+    factor=4), and — unlike the 8-phase s2d layout — the unpack
+    [..., Z/f, f*Co] -> [..., Z, Co] is a CONTIGUOUS reshape (group-major
+    lane order q*Co+co flattens to z,co in linear memory), not a
+    reshape-transpose relayout.
+
+    Derivation (SAME pad, cross-correlation, r=(kz-1)/2): output voxel
+    z = f*g+q needs sum_dz w[dz+r] x[f*g+q+dz]. A stride-f kernel-(kz+f-1)
+    conv with z-pad (r,r) reads x[f*g - r + j]; matching gives j = q+dz+r,
+    so K[.., j, ci, q*Co+co] = w[.., j-q, ci, co] when 0 <= j-q < kz, else
+    0. Boundary taps past the SAME pad carry zero weight by the range
+    check, so the (r,r) zero pad is exact. Windows fit exactly when
+    Z % factor == 0.
+    """
+    kz = w.shape[2]
+    assert kz % 2 == 1, kz
+    ci, co = w.shape[3], w.shape[4]
+    j = np.arange(kz + factor - 1)[:, None]
+    q = np.arange(factor)[None, :]
+    idx = j - q
+    valid = (idx >= 0) & (idx < kz)
+    wf = jnp.take(w, jnp.asarray(np.clip(idx, 0, kz - 1).reshape(-1)), axis=2)
+    # [kx,ky,(j,q),Ci,Co] -> [kx,ky,j,q,Ci,Co]
+    wf = wf.reshape(w.shape[0], w.shape[1], kz + factor - 1, factor, ci, co)
+    wf = wf * jnp.asarray(valid[None, None, :, :, None, None], wf.dtype)
+    # -> [kx,ky,j,Ci,q,Co] -> [kx,ky,j,Ci, q*Co+co]
+    wf = wf.transpose(0, 1, 2, 4, 3, 5)
+    return wf.reshape(w.shape[0], w.shape[1], kz + factor - 1, ci, factor * co)
+
+
+def zpack_unpack(y: jnp.ndarray, co: int) -> jnp.ndarray:
+    """[B,X,Y,Z/f,f*Co] -> [B,X,Y,Z,Co] — contiguous reshape (see above)."""
+    b, x, yy, zg, fco = y.shape
+    return y.reshape(b, x, yy, zg * (fco // co), co)
+
+
 def s2d_down_kernel(w: jnp.ndarray) -> jnp.ndarray:
     """kernel=stride=2 down conv [2,2,2,Ci,Co] -> 1x1x1 kernel [1,1,1,8Ci,Co]."""
     ci, co = w.shape[3], w.shape[4]

@@ -9,7 +9,11 @@ over a TPU pod is this rebuild's first-class addition. Policy:
   - the train step is a plain jitted function with NamedSharding-annotated
     inputs — XLA inserts the psum gradient reduction over ICI by itself
     (no hand-written collectives in the data-parallel path).
-  - eval metric aggregation = all_gather via the same mesh.
+  - evaluation rides the same mesh: 2D slice-eval chunks are device_put with
+    batch-dim sharding (eval2d.predict_volume), and the 3D sliding-window
+    engine shards each volume's patch grid over every device, merging the
+    per-device score/count maps with ONE psum per volume
+    (eval/sliding_window.SlidingWindowEngine(mesh=...)).
 """
 from __future__ import annotations
 

@@ -67,47 +67,79 @@ def _sweep_axes(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     Segmented-max combine on (value, reset): out.v = b.reset ? b.v
     : max(a.v, b.v); out.reset = a.reset | b.reset — associative, so
     lax.associative_scan parallelizes it in O(log n) VPU passes.
+
+    The sweeps COMPOSE sequentially — each axis scans the labels already
+    updated by the previous axis, not the original input. That makes any
+    CONVEX component converge in ONE call: the row sweep spreads the
+    component max M across its row's run, and every column run of a convex
+    shape crosses that row wherever they share extent, so the column sweep
+    delivers M everywhere. (The earlier all-from-original variant maxed four
+    independent scans of the input; an on-chip round-count profile showed it
+    left clean elliptical masks needing 3 sweep firings / 19 window rounds —
+    scripts/profile_nms.py.)
     """
     reset = ~mask
 
-    def combine(a, b):
-        av, ar = a
-        bv, br = b
-        return jnp.where(br, bv, jnp.maximum(av, bv)), ar | br
+    def shift(x, s: int, axis: int, fill):
+        """x shifted by +s (s>0) or -s along axis, vacated cells = fill."""
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (s, 0) if s > 0 else (0, -s)
+        lo = 0 if s > 0 else -s
+        return jax.lax.slice_in_dim(
+            jnp.pad(x, pad, constant_values=fill), lo, lo + x.shape[axis],
+            axis=axis)
+
+    def seg_scan(v, axis: int, step: int):
+        """Hillis-Steele segmented max-scan: after ceil(log2(n)) doubling
+        steps, v[i] = max over i's contiguous foreground run up to i (scan
+        direction given by step's sign). A hand-rolled doubling loop beats
+        lax.associative_scan here: every pass is a contiguous shift (pad +
+        slice) instead of the scan lowering's strided odd/even slices, which
+        are slow on TPU minor dims (measured 19 -> ~7 ms per 4-scan sweep on
+        72x256^2, scripts/profile_nms.py)."""
+        f = reset
+        s = step
+        n = v.shape[axis]
+        # after passes s=1,2,..,2^(k-1) the lookback window is 2^k: stop once
+        # it covers the axis (2^k >= n), i.e. while the NEXT pass still helps
+        while abs(s) < n:
+            v = jnp.where(f, v, jnp.maximum(v, shift(v, s, axis, -1)))
+            f = f | shift(f, s, axis, True)
+            s *= 2
+        return v
 
     out = labels
     for axis in range(1, labels.ndim):
-        for reverse in (False, True):
-            v, _ = jax.lax.associative_scan(combine, (labels, reset),
-                                            axis=axis, reverse=reverse)
-            out = jnp.maximum(out, v)
+        out = jnp.maximum(out, seg_scan(out, axis, 1))
+        out = jnp.maximum(out, seg_scan(out, axis, -1))
     return jnp.where(mask, out, -1)
 
 
-def _label_mask_batch(mask: jnp.ndarray, rounds_per_sweep: int = 6,
-                      rounds_per_jump: int = 16) -> jnp.ndarray:
+def _label_mask_batch(mask: jnp.ndarray, rounds_per_sweep: int = 4,
+                      rounds_per_jump: int = 24,
+                      sweep_start: int = 2) -> jnp.ndarray:
     """Connected-component labels of a [B, *spatial] bool mask: each component
     gets the max linear index it contains; background = -1.
 
-    Every while-loop round is one 3^ndim window max-propagation (cheap; mixes
-    diagonals / across rows). Two escalating accelerators fire periodically
-    rather than every round — their per-invocation cost is high, so paying it
-    each round LOSES when the mask is noisy (thousands of tiny components
-    converge in a few cheap window rounds; measured in-graph on the full CHAP
-    NMS call, 72 masks of 256², on-chip: sweep-every-round 475 ms noisy /
-    333 ms clean; this 5-window/1-sweep cadence 224 / 136; window-only
-    141 / 302 — the cadence is within 1.6x of the best on both extremes
-    where either pure strategy is >2x off on one of them):
+    Every while-loop round is one 3^ndim window max-propagation (cheap,
+    ~1.2 ms on 72x256² v5e; mixes diagonals / across rows). Two escalating
+    accelerators fire periodically (scripts/profile_nms.py for the on-chip
+    phase costs behind this schedule):
 
-      * every `rounds_per_sweep` rounds, full directional sweeps
-        (_sweep_axes) propagate labels across ENTIRE contiguous foreground
-        runs in one associative scan per axis/direction — compact anatomical
-        components converge in O(1) sweeps where window propagation needs
-        ~diameter rounds;
+      * from round `sweep_start`, every `rounds_per_sweep` rounds: full
+        directional sweeps (_sweep_axes, sequential-composed Hillis-Steele
+        segmented max — ~2 ms) propagate labels across ENTIRE contiguous
+        foreground runs; a CONVEX component converges in one sweep, so
+        clean anatomical masks finish in ~10-12 rounds (~9 ms for the whole
+        72-mask batch, vs ~110 ms before the sequential/Hillis-Steele
+        rework);
       * every `rounds_per_jump` rounds, a pointer-jump gather (each pixel
         adopts its representative's current label; pointer-doubling
-        convergence, ~50 ms on TPU) bounds pathological serpentine
-        components to O(log turns) jumps.
+        convergence, ~50 ms on TPU — the expensive escape hatch) bounds
+        pathological serpentine/percolating components to O(log turns)
+        jumps; clean masks converge long before it ever fires. Worst case
+        measured (iid 30%-fill masks, which PERCOLATE under 8-connectivity
+        into giant fractal components): 48 rounds / ~120 ms.
     """
     b = mask.shape[0]
     spatial = mask.shape[1:]
@@ -127,8 +159,10 @@ def _label_mask_batch(mask: jnp.ndarray, rounds_per_sweep: int = 6,
     def body(carry):
         labels, _, it = carry
         new = _propagate_max(labels, mask)
-        new = jax.lax.cond(it % rounds_per_sweep == rounds_per_sweep - 1,
-                           lambda x: _sweep_axes(x, mask), lambda x: x, new)
+        new = jax.lax.cond(
+            (it >= sweep_start)
+            & ((it - sweep_start) % rounds_per_sweep == 0),
+            lambda x: _sweep_axes(x, mask), lambda x: x, new)
         new = jax.lax.cond(it % rounds_per_jump == rounds_per_jump - 1,
                            jump, lambda x: x, new)
         return new, labels, it + 1

@@ -135,7 +135,8 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
             if iter_num > 0 and iter_num % cfg.eval.eval_every == 0:
                 variables = {"params": state.params, "batch_stats": state.batch_stats}
                 metric_list = evaluate_volumes(db_val, predictor, variables,
-                                               num_classes, cfg.data.image_size)
+                                               num_classes, cfg.data.image_size,
+                                               mesh=mesh if n_dev > 1 else None)
                 performance = float(np.mean(metric_list, axis=0)[0])
                 mean_hd95 = float(np.mean(metric_list, axis=0)[1])
                 writer.write(iter_num, {"val_mean_dice": performance,

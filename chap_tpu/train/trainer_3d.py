@@ -242,7 +242,8 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
                 variables = {"params": state.params, "batch_stats": state.batch_stats}
                 m = test_all_case(model, variables, val_ds, cfg.data.num_classes,
                                   patch, cfg.eval.stride_xy, cfg.eval.stride_z,
-                                  sw_batch=cfg.eval.sw_batch, nms=cfg.eval.nms)
+                                  sw_batch=cfg.eval.sw_batch, nms=cfg.eval.nms,
+                                  mesh=mesh if n_dev > 1 else None)
                 dice = float(m[:, 0].mean())
                 writer.write(iter_num, {"val_mean_dice": dice})
                 ckpt.save_latest(jax.device_get(state))

@@ -26,10 +26,12 @@ VARIANTS = {
     "baseline-f32": ("float32", False, False),
     "full-f32": ("float32", True, True),
     "full-bf16": ("bfloat16", True, True),
+    # same-window NMS-share isolation pair
+    "full-bf16-nonms": ("bfloat16", True, True, True, False),
 }
 
 
-def run(tag, dtype, adv, drop, remat=True):
+def run(tag, dtype, adv, drop, remat=True, use_nms=True):
     cfg = Config()
     cfg.model.dtype = dtype
     cfg.semi.adv_noise = adv
@@ -40,7 +42,7 @@ def run(tag, dtype, adv, drop, remat=True):
     sample = jnp.zeros((24, 256, 256, 1))
     state = create_train_state(model, jax.random.PRNGKey(0), sample, opt,
                                sim_chns=tuple(cfg.model.feature_chns))
-    step = build_chap_train_step(model, opt, cfg, use_nms=True)
+    step = build_chap_train_step(model, opt, cfg, use_nms=use_nms)
     rng = np.random.RandomState(0)
     label = np.zeros((24, 256, 256), np.int32)
     label[:, 64:192, 64:192] = 1

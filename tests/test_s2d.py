@@ -186,3 +186,32 @@ def test_s2d_stage2_perturb_forward_matches_plain():
                           rngs=rngs)
     np.testing.assert_allclose(np.asarray(o1f), np.asarray(o1p), atol=5e-4)
     np.testing.assert_allclose(np.asarray(o2f), np.asarray(o2p), atol=5e-4)
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_zpack_conv_kernel_exact(factor):
+    """zpack_conv_kernel: the stride-(1,1,f) packed conv + contiguous
+    unpack reshape must equal the plain SAME conv exactly."""
+    from chap_tpu.ops.s2d import zpack_conv_kernel, zpack_unpack
+    ci, co = 5, 7
+    x = jnp.asarray(RNG.randn(2, 6, 5, 8, ci), jnp.float32)
+    w = jnp.asarray(RNG.randn(3, 3, 3, ci, co) * 0.2, jnp.float32)
+    ref = conv3d(x, w, padding=[(1, 1)] * 3)
+    y = conv3d(x, zpack_conv_kernel(w, factor), (1, 1, factor),
+               [(1, 1)] * 3)
+    got = zpack_unpack(y, co)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_vnet_zpack_stage2_equals_plain():
+    """zpack_stage2 (stride-(1,1,4) packed 32-ch stage convs) is an exact
+    transform: identical params, equal outputs."""
+    x = jnp.asarray(RNG.randn(2, 16, 16, 8, 1), jnp.float32)
+    plain = VNet(num_classes=2, normalization="batchnorm", s2d_stem=True,
+                 zpack_stage2=False)
+    fast = VNet(num_classes=2, normalization="batchnorm", s2d_stem=True,
+                zpack_stage2=True)
+    vs = plain.init(jax.random.PRNGKey(0), x, train=False)
+    out_p = plain.apply(vs, x, train=False)
+    out_f = fast.apply(vs, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), atol=5e-4)
