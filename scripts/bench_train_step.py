@@ -28,6 +28,10 @@ VARIANTS = {
     "full-bf16": ("bfloat16", True, True),
     # same-window NMS-share isolation pair
     "full-bf16-nonms": ("bfloat16", True, True, True, False),
+    # component decomposition (all NMS-off so shares isolate cleanly)
+    "cps-bf16": ("bfloat16", False, False, True, False),
+    "cps+drop-bf16": ("bfloat16", False, True, True, False),
+    "cps+adv-bf16": ("bfloat16", True, False, True, False),
 }
 
 

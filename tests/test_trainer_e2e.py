@@ -130,7 +130,8 @@ def test_resume_preserves_best_checkpoint(tmp_path, monkeypatch):
 
     scripted = iter([0.9, 0.3, 0.4])   # run1 eval, run2 (resumed) evals
 
-    def fake_eval(db_val, predictor, variables, num_classes, image_size):
+    def fake_eval(db_val, predictor, variables, num_classes, image_size,
+                  mesh=None):
         return np.array([[next(scripted), 1.0]])
 
     monkeypatch.setattr(t2d, "evaluate_volumes", fake_eval)
