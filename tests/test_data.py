@@ -87,3 +87,34 @@ def test_batch_loader_propagates_worker_failure():
     loader = BatchLoader(Corrupt(), sampler, num_workers=2)
     with pytest.raises(RuntimeError, match="worker failed"):
         list(loader)
+
+
+def test_synthetic_hard_protocol():
+    """synthetic_hard (the SSL-efficacy protocol): distractor blobs wear
+    foreground intensities on background labels, boundaries are deformed,
+    and build_datasets routes the flag to both train slices and val volumes."""
+    from chap_tpu.data.datasets import (SyntheticSliceDataset,
+                                        _phantom_slice_hard, build_datasets)
+
+    ds = SyntheticSliceDataset(64, 4, 50, hard=True)
+    s0, s1 = ds[0], ds[1]
+    assert s0["image"].shape == (64, 64) and s0["label"].dtype == np.int32
+    assert not np.array_equal(s0["label"], s1["label"])  # per-index variance
+    # nested anatomy present, background dominant
+    fracs = [(s0["label"] == c).mean() for c in range(4)]
+    assert fracs[0] > 0.5 and all(f > 0 for f in fracs[1:])
+    # determinism
+    again = SyntheticSliceDataset(64, 4, 50, hard=True)[0]
+    np.testing.assert_array_equal(again["label"], s0["label"])
+    np.testing.assert_allclose(again["image"], s0["image"])
+
+    class _Cfg:
+        dataset = "synthetic_hard"
+        image_size = (64, 64)
+        num_classes = 4
+        synthetic_train_size = 50
+        synthetic_val_volumes = 2
+
+    train, val = build_datasets(_Cfg())
+    assert len(train) == 50 and len(val) == 2
+    assert val[0]["image"].shape == (10, 64, 64)
