@@ -34,7 +34,6 @@ enable_persistent_cache()
 from chap_tpu.config import Config  # noqa: E402
 from chap_tpu.data.datasets import (SyntheticSliceDataset,  # noqa: E402
                                     SyntheticVolumeDataset)
-from chap_tpu.data.transforms import RandomGenerator  # noqa: E402
 from chap_tpu.eval.eval2d import evaluate_volumes, make_predictor  # noqa: E402
 from chap_tpu.models import net_factory  # noqa: E402
 from chap_tpu.train.state import create_train_state, make_optimizer  # noqa: E402
@@ -46,9 +45,9 @@ N_CLASSES = 4
 BATCH = 24
 LABELED_BS = 12
 N_LABELED = 16          # labeled slices — scarce enough that sup-only overfits
-TRAIN_SIZE = 1312
-VAL_VOLUMES = 8
-EVAL_EVERY = 250
+TRAIN_SIZE = 768
+VAL_VOLUMES = 4
+EVAL_EVERY = 500
 
 
 def make_cfg(rung: str) -> Config:
@@ -65,11 +64,28 @@ def make_cfg(rung: str) -> Config:
     return cfg
 
 
-def batches(rung: str, transform, seed: int = 0):
+_POOL = None
+
+
+def _pool():
+    """Pre-materialized raw slice pool: per-draw phantom generation through
+    the transform was host-bound (~0.4 s/batch — the first ladder attempt
+    timed out on it). The hard protocol's per-index variance IS the
+    augmentation, so rungs draw raw slices from a fixed pool."""
+    global _POOL
+    if _POOL is None:
+        train = SyntheticSliceDataset(SIZE, N_CLASSES, TRAIN_SIZE, seed=0,
+                                      hard=True)
+        imgs = np.stack([train[i]["image"] for i in range(TRAIN_SIZE)])
+        labs = np.stack([train[i]["label"] for i in range(TRAIN_SIZE)])
+        _POOL = (imgs.astype(np.float32)[..., None], labs.astype(np.int32))
+    return _POOL
+
+
+def batches(rung: str, seed: int = 0):
     """Deterministic batch stream. chap rungs: two-stream (first LABELED_BS
     labeled, rest unlabeled); supervised: all indices < N_LABELED."""
-    train = SyntheticSliceDataset(SIZE, N_CLASSES, TRAIN_SIZE, seed=0,
-                                  transform=transform, hard=True)
+    imgs, labs = _pool()
     rng = np.random.RandomState(seed)
     while True:
         if rung == "supervised":
@@ -78,11 +94,8 @@ def batches(rung: str, transform, seed: int = 0):
             lab = rng.randint(0, N_LABELED, LABELED_BS)
             unl = rng.randint(N_LABELED, TRAIN_SIZE, BATCH - LABELED_BS)
             idxs = np.concatenate([lab, unl])
-        samples = [train[int(i)] for i in idxs]
-        image = np.stack([s["image"] for s in samples]).astype(np.float32)
-        label = np.stack([s["label"] for s in samples]).astype(np.int32)
-        yield {"image": jnp.asarray(image[..., None]),
-               "label": jnp.asarray(label)}
+        yield {"image": jnp.asarray(imgs[idxs]),
+               "label": jnp.asarray(labs[idxs])}
 
 
 def run(rung: str, steps: int) -> dict:
@@ -96,11 +109,10 @@ def run(rung: str, steps: int) -> dict:
         step_fn = build_supervised_train_step(model, opt, cfg, dual=True)
     else:
         step_fn = build_chap_train_step(model, opt, cfg, use_nms=True)
-    transform = RandomGenerator(cfg.data.image_size, seed=0)
     val = SyntheticVolumeDataset((10, SIZE, SIZE), N_CLASSES, VAL_VOLUMES,
                                  hard=True)
     predictor = make_predictor(model, "logit_ensemble")
-    stream = batches(rung, transform)
+    stream = batches(rung)
     rng = jax.random.PRNGKey(1)
     best = 0.0
     t0 = time.perf_counter()
