@@ -82,7 +82,8 @@ def main():
         cfg.run.snapshot_root, cfg.data.dataset,
         f"{cfg.run.exp}_{cfg.data.labeled_num}_labeled")
     os.makedirs(snapshot_path, exist_ok=True)
-    save_dir = init_save_folder(snapshot_path, cfg.model.name)
+    save_dir = init_save_folder(snapshot_path, cfg.model.name,
+                                reuse_last=args.resume)
     write_doc(save_dir, cfg.run.text)
     dump_config(save_dir, config_to_dict(cfg))
     setup_logging(save_dir)

@@ -99,7 +99,8 @@ def main():
                                  f"{cfg.run.exp}_{cfg.data.labeled_num}_labeled")
     os.makedirs(snapshot_path, exist_ok=True)
     model_dir = (cfg.model.name_3d if method == "supervised" else "dualdecoder3d")
-    save_dir = init_save_folder(snapshot_path, model_dir)
+    save_dir = init_save_folder(snapshot_path, model_dir,
+                                reuse_last=args.resume)
     write_doc(save_dir, args.text)
     dump_config(save_dir, config_to_dict(cfg))
     setup_logging(save_dir)

@@ -12,12 +12,19 @@ import os
 import sys
 
 
-def init_save_folder(snapshot_path: str, model: str) -> str:
+def init_save_folder(snapshot_path: str, model: str,
+                     reuse_last: bool = False) -> str:
+    """reuse_last=True (the CLIs' --resume path) returns the LAST existing
+    run_N instead of allocating a fresh one — a resumed run must land in the
+    directory that holds its checkpoints (CheckpointManager restores from
+    the run dir it is given)."""
     base = os.path.join(snapshot_path, model)
     os.makedirs(base, exist_ok=True)
     n = 0
     while os.path.exists(os.path.join(base, f"run_{n}")):
         n += 1
+    if reuse_last and n > 0:
+        return os.path.join(base, f"run_{n - 1}")
     run_dir = os.path.join(base, f"run_{n}")
     os.makedirs(run_dir)
     return run_dir

@@ -48,3 +48,22 @@ def test_meta_sidecar_roundtrip(tmp_path):
     meta = ckpt2.load_meta()
     assert meta["best_metric"] == 0.91
     assert meta["best_iteration"] == 400
+
+
+def test_init_save_folder_reuse_last(tmp_path):
+    """--resume must land in the run dir that holds the checkpoints: fresh
+    calls allocate run_0, run_1, ...; reuse_last returns the newest existing
+    run instead of allocating (the round-4 30k run initially resumed into an
+    empty run_1 and silently restarted from scratch)."""
+    from chap_tpu.utils.launch import init_save_folder
+
+    base = str(tmp_path)
+    r0 = init_save_folder(base, "m")
+    assert r0.endswith("run_0")
+    r1 = init_save_folder(base, "m")
+    assert r1.endswith("run_1")
+    again = init_save_folder(base, "m", reuse_last=True)
+    assert again == r1
+    # reuse_last with no prior runs still creates run_0
+    fresh = init_save_folder(str(tmp_path / "other"), "m", reuse_last=True)
+    assert fresh.endswith("run_0")
