@@ -100,7 +100,7 @@ def net_factory_3d(net_type: str, in_chns: int, class_num: int,
                              has_dropout=has_dropout, dtype=dtype,
                              s2d_stem=getattr(cfg, "s2d_stem", True),
                              s2d_stage2=getattr(cfg, "s2d_stage2", False),
-                      zpack_stage2=getattr(cfg, "zpack_stage2", False))
+                             zpack_stage2=getattr(cfg, "zpack_stage2", False))
     if net_type == "resvnet":
         from chap_tpu.models.resvnet import ResVNet
         return ResVNet(num_classes=class_num, has_dropout=has_dropout, dtype=dtype)

@@ -503,7 +503,8 @@ class VNet(nn.Module):
                                 self.s2d_stem, self.s2d_stage2,
                                 self.zpack_stage2)
         self.decoder = VDecoder(self.num_classes, self.n_filters, self.normalization,
-                                self.has_dropout, self.has_residual, 0, self.dtype)
+                                self.has_dropout, self.has_residual, 0, self.dtype,
+                                self.zpack_stage2)
 
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         return self.decoder(self.encoder(x, train=train), train=train)
@@ -536,9 +537,11 @@ class DualDecoder3d(nn.Module):
                                 self.s2d_stem, self.s2d_stage2,
                                 self.zpack_stage2)
         self.decoder1 = VDecoder(self.num_classes, self.n_filters, self.normalization,
-                                 self.has_dropout, self.has_residual, 1, self.dtype)
+                                 self.has_dropout, self.has_residual, 1, self.dtype,
+                                 self.zpack_stage2)
         self.decoder2 = VDecoder(self.num_classes, self.n_filters, self.normalization,
-                                 self.has_dropout, self.has_residual, 0, self.dtype)
+                                 self.has_dropout, self.has_residual, 0, self.dtype,
+                                 self.zpack_stage2)
 
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  dropout_level=None, scores=None, comp_dropout: bool = False):

@@ -115,7 +115,7 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None) -> d
                 # the mesh like any data batch (bank is host-global)
                 image = np.concatenate([np.asarray(batch["image"][:lbs]),
                                         replay["image"].astype(
-                                            np.asarray(batch["image"]).dtype)])
+                                            np.dtype(batch["image"].dtype))])
                 image = jax.device_put(image, data_sharding)
                 mask = jax.device_put(replay["mask"], mask_sharding)
                 state, m_f = decoder_max_step(state, image, batch["label"], mask, r2)

@@ -42,14 +42,26 @@ def setup_logging(save_dir: str) -> None:
     logging.getLogger().addHandler(logging.StreamHandler(sys.stdout))
 
 
+def _provenance_path(save_dir: str, name: str, ext: str) -> str:
+    """First free provenance filename: <name>.<ext>, then <name>.resume1.<ext>,
+    ... — a resumed run (possibly with different flags) must not silently
+    overwrite the original segment's recorded provenance."""
+    path = os.path.join(save_dir, f"{name}.{ext}")
+    n = 1
+    while os.path.exists(path):
+        path = os.path.join(save_dir, f"{name}.resume{n}.{ext}")
+        n += 1
+    return path
+
+
 def write_doc(save_dir: str, text: str) -> None:
     # free-text experiment description, matching train_ours_2D.py:562-565
-    with open(os.path.join(save_dir, "doc.txt"), "w") as f:
+    with open(_provenance_path(save_dir, "doc", "txt"), "w") as f:
         f.write(text)
 
 
 def dump_config(save_dir: str, cfg_dict: dict) -> None:
     # experiment provenance: persist the resolved config instead of copying
     # the training script (reference copies train_*.py, train_ours_2D.py:559)
-    with open(os.path.join(save_dir, "config.json"), "w") as f:
+    with open(_provenance_path(save_dir, "config", "json"), "w") as f:
         json.dump(cfg_dict, f, indent=2, default=str)
