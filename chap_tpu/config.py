@@ -29,6 +29,13 @@ class DataConfig:
     num_workers: int = 4
     synthetic_train_size: int = 1312      # slices when dataset == synthetic
     synthetic_val_volumes: int = 8
+    device_input: bool = True             # HBM-resident slice pool + on-device
+                                          # two-stream sampling/augmentation
+                                          # (data/device_data.py): zero per-step
+                                          # h2d traffic — sidesteps the PJRT
+                                          # plugin's per-transfer host leak and
+                                          # takes the host out of the hot loop.
+                                          # false = threaded host loader path.
 
 
 @dataclass
@@ -64,6 +71,13 @@ class OptimConfig:
                                           # multi-pass CHAP step (trades ~1x
                                           # extra fwd FLOPs for O(passes) less
                                           # activation memory)
+    fused_passes: bool = True             # run the student-mix, channel-
+                                          # dropout and VAT-adversarial
+                                          # forwards as ONE vmapped 3-instance
+                                          # apply (convs see 3x batch; BN stats
+                                          # stay per-instance under vmap, so
+                                          # this is the SAME math as separate
+                                          # passes — tests/test_step_fused.py)
     split_step: bool = False              # compile the CHAP step as TWO jitted
                                           # programs (teacher+NMS / student) —
                                           # numerically identical, halves the
@@ -85,6 +99,15 @@ class SemiConfig:
     adv_epi: float = 6.0                  # VAT epsilon (train_ours_2D.py:290)
     adv_losstype: str = "kl"              # kl | dice (:515)
     topk1: float = 0.1                    # create_maskV1 topk (:523)
+    gradsim_every: int = 1                # update the GradSim channel scores
+                                          # every N steps (EMA decay adjusted
+                                          # to decay**N so the averaging
+                                          # horizon is preserved). 1 = the
+                                          # reference's per-step update; the
+                                          # scores are slow EMA statistics, so
+                                          # a small N trades negligible signal
+                                          # lag for skipping the two extra
+                                          # backward passes on N-1 steps.
     w_adv: float = 1.0
     w_drop: float = 1.0
     temperature: float = 0.1              # sharpening (train_ours_2D.py:61)

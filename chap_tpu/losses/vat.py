@@ -49,6 +49,40 @@ def _divergence(logits1: jnp.ndarray, logits2: jnp.ndarray,
     raise ValueError(f"unknown adv_losstype {losstype!r}")
 
 
+def vat_divergence(logits1: jnp.ndarray, logits2: jnp.ndarray,
+                   soft1: jnp.ndarray, soft2: jnp.ndarray,
+                   mask: jnp.ndarray, losstype: str) -> jnp.ndarray:
+    """Public handle on the masked VAT divergence — used by the fused-pass
+    CHAP step (train/step_chap.py), where the adversarial forward runs inside
+    a batched apply and only the divergence is computed here."""
+    return _divergence(logits1, logits2, soft1, soft2, mask, losstype)
+
+
+def vat_direction(apply_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+                  x: jnp.ndarray, soft1: jnp.ndarray, soft2: jnp.ndarray,
+                  mask: jnp.ndarray, rng: jax.Array, xi: float = 10.0,
+                  num_iters: int = 1, losstype: str = "kl") -> jnp.ndarray:
+    """Power iteration only: returns the unit adversarial direction d (stop-
+    gradient), without the final adversarial pass. The fused CHAP step runs
+    the final pass batched with the student/dropout passes; this keeps the
+    per-pass semantics of vat_loss_2d exactly (same d draws, same
+    normalization) while letting the expensive final forward join the big
+    batch."""
+    soft1 = jax.lax.stop_gradient(soft1)
+    soft2 = jax.lax.stop_gradient(soft2)
+    d = jax.random.uniform(rng, x.shape, dtype=x.dtype) - 0.5
+    d = l2_normalize_batch(d)
+
+    def adv_distance(d_in: jnp.ndarray) -> jnp.ndarray:
+        l1, l2 = apply_fn(x + xi * d_in)
+        return _divergence(l1, l2, soft1, soft2, mask, losstype)
+
+    for _ in range(num_iters):
+        grad_d = jax.grad(adv_distance)(d)
+        d = l2_normalize_batch(jax.lax.stop_gradient(grad_d))
+    return d
+
+
 def vat_loss_2d(apply_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
                 x: jnp.ndarray, soft1: jnp.ndarray, soft2: jnp.ndarray,
                 mask: jnp.ndarray, rng: jax.Array, xi: float = 10.0,
@@ -62,20 +96,8 @@ def vat_loss_2d(apply_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray
     x: [B,H,W,Cin] input batch; soft1/soft2: [B,H,W,C] clean soft predictions
       (stop-gradient targets); mask: [B,H,W] disagreement mask gating the loss.
     """
-    soft1 = jax.lax.stop_gradient(soft1)
-    soft2 = jax.lax.stop_gradient(soft2)
-
-    d = jax.random.uniform(rng, x.shape, dtype=x.dtype) - 0.5
-    d = l2_normalize_batch(d)
-
-    def adv_distance(d_in: jnp.ndarray) -> jnp.ndarray:
-        l1, l2 = apply_fn(x + xi * d_in)
-        return _divergence(l1, l2, soft1, soft2, mask, losstype)
-
-    for _ in range(num_iters):
-        grad_d = jax.grad(adv_distance)(d)
-        d = l2_normalize_batch(jax.lax.stop_gradient(grad_d))
-
-    r_adv = epi * d
-    l1, l2 = apply_fn(x + r_adv)
-    return _divergence(l1, l2, soft1, soft2, mask, losstype)
+    d = vat_direction(apply_fn, x, soft1, soft2, mask, rng, xi=xi,
+                      num_iters=num_iters, losstype=losstype)
+    l1, l2 = apply_fn(x + epi * d)
+    return _divergence(l1, l2, jax.lax.stop_gradient(soft1),
+                       jax.lax.stop_gradient(soft2), mask, losstype)

@@ -97,17 +97,32 @@ def scores_dropout_v2(rng: jax.Array, grad_sim: jnp.ndarray, activation: jnp.nda
     return _drop_based_on_prob(rng, probs, comp, feat_ndim)
 
 
+def _gate_mask(mask: jnp.ndarray, gate) -> jnp.ndarray:
+    """Blend a multiplicative perturbation mask toward identity: gate=1 keeps
+    the perturbation, gate=0 makes the pass a clean forward. `gate` is a
+    TRACED scalar, which lets one vmapped apply run perturbed and clean
+    instances side by side (train/step_chap.py fused method passes) — the
+    masks are per-(sample, channel), so gating costs nothing on the feature
+    bandwidth."""
+    if gate is None:
+        return mask
+    g = jnp.asarray(gate, mask.dtype)
+    return g * mask + (1.0 - g)
+
+
 def perform_dropout(rng: jax.Array,
                     features: Sequence[jnp.ndarray],
                     level: Sequence[int],
                     scores: Optional[Sequence[Optional[jnp.ndarray]]] = None,
                     comp_drop: bool = False,
+                    gate=None,
                     ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """Produce two perturbed feature pyramids for the two decoders.
 
     features: encoder pyramid, each [B, *spatial, C] (2D or 3D) with batch =
     [labeled ; unlabeled] halves (labeled_bs = B // 2). Returns
-    (pyramid1, pyramid2).
+    (pyramid1, pyramid2). `gate` (traced scalar or None): 1 = perturb,
+    0 = identity passthrough (see _gate_mask).
     """
     feature_fp1: List[jnp.ndarray] = []
     feature_fp2: List[jnp.ndarray] = []
@@ -125,17 +140,21 @@ def perform_dropout(rng: jax.Array,
                 if comp_drop:
                     m1, m2 = _comp_binomial_masks(
                         r1, _mask_shape(feat.ndim, b - labeled_bs, c), feat.dtype)
-                    p1, p2 = unlab_feat * m1, unlab_feat * m2
+                    p1 = unlab_feat * _gate_mask(m1, gate)
+                    p2 = unlab_feat * _gate_mask(m2, gate)
                 else:
-                    p1 = _channel_dropout(r1, unlab_feat)
-                    p2 = _channel_dropout(r2, unlab_feat)
+                    shape = _mask_shape(feat.ndim, b - labeled_bs, c)
+                    k1 = jax.random.bernoulli(r1, 0.5, shape).astype(feat.dtype)
+                    k2 = jax.random.bernoulli(r2, 0.5, shape).astype(feat.dtype)
+                    p1 = unlab_feat * _gate_mask(k1 / 0.5, gate)
+                    p2 = unlab_feat * _gate_mask(k2 / 0.5, gate)
             else:
                 activation = jnp.mean(unlab_feat, axis=spatial_axes)  # GAP -> [B_u, C]
                 activation = jax.lax.stop_gradient(activation)
                 m1, m2 = scores_dropout_v2(r1, score_vec, activation, comp_drop,
                                            feat_ndim=feat.ndim)
-                m1 = m1.astype(feat.dtype)
-                m2 = m2.astype(feat.dtype)
+                m1 = _gate_mask(m1.astype(feat.dtype), gate)
+                m2 = _gate_mask(m2.astype(feat.dtype), gate)
                 p1, p2 = unlab_feat * m1, unlab_feat * m2
         else:
             p1 = p2 = unlab_feat

@@ -124,7 +124,8 @@ class DualDecoder(nn.Module):
                  dropout_level: Optional[Sequence[int]] = None,
                  scores: Optional[Sequence[Optional[jnp.ndarray]]] = None,
                  comp_dropout: bool = False,
-                 stop_encoder_grad: bool = False):
+                 stop_encoder_grad: bool = False,
+                 perturb_gate=None):
         feature = self.encoder(x, train=train)
         if stop_encoder_grad:
             # ACAL decoder max-step: encoder frozen (the reference's
@@ -132,7 +133,8 @@ class DualDecoder(nn.Module):
             feature = [jax.lax.stop_gradient(f) for f in feature]
         if dropout_level is not None:
             rng = self.make_rng("perturb")
-            f1, f2 = perform_dropout(rng, feature, dropout_level, scores, comp_dropout)
+            f1, f2 = perform_dropout(rng, feature, dropout_level, scores,
+                                     comp_dropout, gate=perturb_gate)
             out1 = self.decoder1(f1, train=train)
             out2 = self.decoder2(f2, train=train)
         else:

@@ -544,7 +544,8 @@ class DualDecoder3d(nn.Module):
                                  self.zpack_stage2)
 
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
-                 dropout_level=None, scores=None, comp_dropout: bool = False):
+                 dropout_level=None, scores=None, comp_dropout: bool = False,
+                 perturb_gate=None):
         features = self.encoder(x, train=train)
         if dropout_level is None:
             return (self.decoder1(features, train=train),
@@ -565,7 +566,7 @@ class DualDecoder3d(nn.Module):
                 features[i] = phase_view(features[i])
         rng = self.make_rng("perturb")
         f1, f2 = perform_dropout(rng, features, dropout_level, scores,
-                                 comp_dropout)
+                                 comp_dropout, gate=perturb_gate)
         for i, s in enumerate(is_s2d):
             if s:
                 f1[i] = f1[i].reshape(f1[i].shape[:-2] + (s2d_widths[i],))

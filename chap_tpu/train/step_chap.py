@@ -29,13 +29,17 @@ import jax.numpy as jnp
 from chap_tpu.config import Config
 from chap_tpu.losses.ce import cross_entropy, cross_entropy_per_pixel
 from chap_tpu.losses.mix import mix_loss
-from chap_tpu.losses.vat import vat_loss_2d
+from chap_tpu.losses.vat import vat_direction, vat_divergence, vat_loss_2d
 from chap_tpu.semi.bcp import generate_mask_nd, mix_images
 from chap_tpu.semi.gradsim import ENCODER_LEVEL_PATHS, update_grad_sim
 from chap_tpu.semi.nms import largest_cc_batch
 from chap_tpu.semi.patchmask import create_mask_v1
 from chap_tpu.train.state import TrainState
 from chap_tpu.utils.ramps import sigmoid_rampup
+
+# every BatchNorm in the zoo uses momentum 0.9 (models/layers.py:70); the
+# fused-pass running-stat reconstruction below depends on it
+BN_MOMENTUM = 0.9
 
 
 class StepOutput(NamedTuple):
@@ -163,13 +167,34 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
 
         # ---- differentiated losses ----------------------------------------
         remat = cfg.optim.remat
+        # fused mode: the student-mix, channel-dropout and VAT-adversarial
+        # forwards run as ONE vmapped apply (3x conv batch; per-instance BN
+        # stats under vmap = separate-pass stats) and ONE backward with all
+        # loss cotangents live. Requires equal per-pass batch rows (the
+        # standard labeled_bs = batch/2 layout) and an active extra branch.
+        fused = (cfg.optim.fused_passes
+                 and (semi.dropout or semi.adv_noise)
+                 and net_input_mix.shape[0] == uimg_ab.shape[0])
 
-        def losses_fn(params):
-            out_mix1, out_mix2, bs2 = apply_model(params, bs1, net_input_mix,
-                                                  rng=r_student, remat=remat)
+        if semi.adv_noise:
+            diff_mask = create_mask_v1(pseudo1, pseudo2, knowledge,
+                                       scale_factor=4, topk=semi.topk1)
+        if fused and semi.adv_noise:
+            # power iteration BEFORE the main vjp: it needs only the teacher
+            # targets, carries no parameter gradient (d is stop-gradient),
+            # and train-mode BN output is independent of input running stats
+            def power_apply(x):
+                o1, o2, _ = apply_model(jax.lax.stop_gradient(state.params),
+                                        bs1, x, rng=r_vat, remat=remat)
+                return o1, o2
+
+            d_adv = vat_direction(power_apply, uimg_ab, soft1, soft2,
+                                  diff_mask, r_vat, xi=semi.noise_mag,
+                                  losstype=semi.adv_losstype)
+
+        def mix_losses(out_mix1, out_mix2):
             out_l1, out_unl1 = out_mix1[:sub_bs], out_mix1[sub_bs:]
             out_l2, out_unl2 = out_mix2[:sub_bs], out_mix2[sub_bs:]
-
             lu_out1, ll_in1, m1 = mix_loss(out_unl1, plab_a2, lab_a, loss_mask,
                                            num_classes, u_weight=0.5, unlab=True)
             lu_out2, ll_in2, m2 = mix_loss(out_unl2, plab_a1, lab_a, loss_mask,
@@ -181,6 +206,65 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
             bcp_loss = m1 + m2 + m3 + m4
             loss_l = ll_in1 + ll_in2 + ll_out1 + ll_out2
             loss_u = lu_in1 + lu_in2 + lu_out1 + lu_out2
+            return bcp_loss, loss_l, loss_u
+
+        def losses_fused(params):
+            xs, keys, gates = [net_input_mix], [r_student], [0.0]
+            if semi.dropout:
+                xs.append(uimg_ab)
+                keys.append(r_fp)
+                gates.append(1.0)
+            if semi.adv_noise:
+                xs.append(uimg_ab + semi.adv_epi * d_adv)
+                keys.append(r_vat)
+                gates.append(0.0)
+            perturb_kwargs = dict(
+                dropout_level=(0, 1, 2, 3, 4), scores=list(state.sim_scores),
+                comp_dropout=semi.comp_drop) if semi.dropout else {}
+
+            def one(x, key, gate):
+                kw = dict(perturb_kwargs)
+                if semi.dropout:
+                    kw["perturb_gate"] = gate
+                return apply_model(params, bs1, x, rng=key, remat=remat, **kw)
+
+            o1s, o2s, statss = jax.vmap(one)(
+                jnp.stack(xs), jnp.stack(keys),
+                jnp.asarray(gates, net_input_mix.dtype))
+
+            bcp_loss, loss_l, loss_u = mix_losses(o1s[0], o2s[0])
+            # exact sequential running-stat reconstruction: separate passes
+            # produce bs2 = m*bs1 + (1-m)*mu_A then bs3 = m*bs2 + (1-m)*mu_B;
+            # the fused instances give s_i = m*bs1 + (1-m)*mu_i, so
+            # bs2 = s_A and bs3 = m*s_A + (s_B - m*bs1)
+            s_a = jax.tree.map(lambda u: u[0], statss)
+            if semi.dropout:
+                s_b = jax.tree.map(lambda u: u[1], statss)
+                bs_final = jax.tree.map(
+                    lambda a, b, o: BN_MOMENTUM * a + b - BN_MOMENTUM * o,
+                    s_a, s_b, bs1)
+                fp_loss = (cross_entropy(o1s[1], pseudo2)
+                           + cross_entropy(o2s[1], pseudo1))
+            else:
+                bs_final = s_a
+                fp_loss = jnp.zeros(())
+            if semi.adv_noise:
+                vat = vat_divergence(o1s[-1], o2s[-1], soft1, soft2,
+                                     diff_mask, semi.adv_losstype)
+            else:
+                vat = jnp.zeros(())
+
+            total = bcp_loss + consistency_weight * (
+                semi.w_drop * fp_loss + semi.w_adv * vat)
+            aux = {"batch_stats": bs_final, "bcp_loss": bcp_loss,
+                   "loss_l": loss_l, "loss_u": loss_u, "fp_loss": fp_loss,
+                   "vat_loss": vat}
+            return jnp.stack([total, loss_l, loss_u]), aux
+
+        def losses_sequential(params):
+            out_mix1, out_mix2, bs2 = apply_model(params, bs1, net_input_mix,
+                                                  rng=r_student, remat=remat)
+            bcp_loss, loss_l, loss_u = mix_losses(out_mix1, out_mix2)
 
             bs_final = bs2
             if semi.dropout:
@@ -197,9 +281,6 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
                 fp_loss = jnp.zeros(())
 
             if semi.adv_noise:
-                diff_mask = create_mask_v1(pseudo1, pseudo2, knowledge,
-                                           scale_factor=4, topk=semi.topk1)
-
                 def vat_apply(x):
                     # train-mode BN like the reference's perturbed passes;
                     # running-stat updates from VAT passes are discarded
@@ -222,6 +303,7 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
                    "vat_loss": vat}
             return jnp.stack([total, loss_l, loss_u]), aux
 
+        losses_fn = losses_fused if fused else losses_sequential
         vals, pullback, aux = jax.vjp(losses_fn, state.params, has_aux=True)
         grads = pullback(jnp.array([1.0, 0.0, 0.0], vals.dtype))[0]
 
@@ -232,10 +314,22 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
             # kernels (update_grad_sim), so XLA dead-code-eliminates every
             # other weight-gradient kernel of these two backwards — a batched
             # backward would have to compute all of them
-            grads_l = pullback(jnp.array([0.0, 1.0, 0.0], vals.dtype))[0]
-            grads_u = pullback(jnp.array([0.0, 0.0, 1.0], vals.dtype))[0]
-            sim_scores = update_grad_sim(sim_scores, grads_l, grads_u,
-                                         paths=level_paths)
+            every = max(1, int(semi.gradsim_every))
+
+            def compute_scores(_):
+                grads_l = pullback(jnp.array([0.0, 1.0, 0.0], vals.dtype))[0]
+                grads_u = pullback(jnp.array([0.0, 0.0, 1.0], vals.dtype))[0]
+                # EMA decay adjusted to decay**N so the averaging horizon
+                # matches the reference's per-step update at any cadence
+                return update_grad_sim(sim_scores, grads_l, grads_u,
+                                       decay=0.9 ** every, paths=level_paths)
+
+            if every == 1:
+                sim_scores = compute_scores(None)
+            else:
+                sim_scores = jax.lax.cond(
+                    state.step % every == 0, compute_scores,
+                    lambda _: tuple(sim_scores), None)
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)

@@ -99,64 +99,95 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
 
     iter_num = int(state.step)
     start_iter = iter_num
+
+    if cfg.data.device_input:
+        # HBM-resident pool + on-device sampling/augmentation: zero per-step
+        # h2d traffic (data/device_data.py — the PJRT plugin leaks every
+        # transfer payload host-side, and this host has one core)
+        from jax.sharding import NamedSharding, PartitionSpec
+        from chap_tpu.data.device_data import (build_device_batch_fn,
+                                               build_device_pool)
+        pool = build_device_pool(
+            db_train, cfg.data.image_size, compute_dtype,
+            sharding=NamedSharding(mesh, PartitionSpec()) if n_dev > 1 else None)
+        batch_fn = build_device_batch_fn(
+            total_slices, labeled_slice, cfg.data.batch_size,
+            cfg.data.labeled_bs,
+            out_shardings={"image": data_sharding, "label": label_sharding}
+            if n_dev > 1 else None)
+
+        def batch_stream():
+            # independent, resume-aware rng stream for batch sampling
+            r = jax.random.fold_in(jax.random.PRNGKey(cfg.run.seed), start_iter)
+            while True:
+                r, rb = jax.random.split(r)
+                yield batch_fn(pool, rb)
+    else:
+        def batch_stream():
+            epoch_start = iter_num
+            while True:
+                sampler = TwoStreamBatchSampler(
+                    list(range(labeled_slice)),
+                    list(range(labeled_slice, total_slices)),
+                    cfg.data.batch_size,
+                    cfg.data.batch_size - cfg.data.labeled_bs,
+                    seed=cfg.run.seed + epoch_start)
+                loader = BatchLoader(db_train, sampler, cfg.data.num_workers)
+                yield from prefetch_to_device(loader, size=2, transform=shard)
+                epoch_start += len(sampler)
+
     t_start = time.time()
-    while iter_num < max_iterations:
-        sampler = TwoStreamBatchSampler(
-            list(range(labeled_slice)), list(range(labeled_slice, total_slices)),
-            cfg.data.batch_size, cfg.data.batch_size - cfg.data.labeled_bs,
-            seed=cfg.run.seed + iter_num)
-        loader = BatchLoader(db_train, sampler, cfg.data.num_workers)
-        for batch in prefetch_to_device(loader, size=2, transform=shard):
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, step_rng)
-            iter_num += 1
+    for batch in batch_stream():
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, step_rng)
+        iter_num += 1
 
-            if iter_num % cfg.run.log_every == 0:
-                scalars = {k: float(v) for k, v in metrics.items()}
-                scalars["steps_per_sec"] = (
-                    (iter_num - start_iter) / (time.time() - t_start))
-                # GradSim score statistics: the EMA channel scores drive the
-                # dropout perturbation; their drift is the scale-stability
-                # signal the 30k-iteration protocol depends on
-                if getattr(state, "sim_scores", None):
-                    flat = np.concatenate(
-                        [np.asarray(s).ravel() for s in state.sim_scores])
-                    scalars["sim_score_mean"] = float(flat.mean())
-                    scalars["sim_score_std"] = float(flat.std())
-                    scalars["sim_score_absmax"] = float(np.abs(flat).max())
-                writer.write(iter_num, scalars)
-                if "disagreement_ratio" in scalars:
-                    # per-iteration CSV like train_ablation_2D.py:183-190
-                    writer.append_csv(f"{snapshot_path}/disagreement.csv",
-                                      {"iteration": iter_num,
-                                       "ratio": scalars["disagreement_ratio"]})
-                logging.info("iteration %d : loss : %.4f", iter_num, scalars["loss"])
+        if iter_num % cfg.run.log_every == 0:
+            scalars = {k: float(v) for k, v in metrics.items()}
+            scalars["steps_per_sec"] = (
+                (iter_num - start_iter) / (time.time() - t_start))
+            # GradSim score statistics: the EMA channel scores drive the
+            # dropout perturbation; their drift is the scale-stability
+            # signal the 30k-iteration protocol depends on
+            if getattr(state, "sim_scores", None):
+                flat = np.concatenate(
+                    [np.asarray(s).ravel() for s in state.sim_scores])
+                scalars["sim_score_mean"] = float(flat.mean())
+                scalars["sim_score_std"] = float(flat.std())
+                scalars["sim_score_absmax"] = float(np.abs(flat).max())
+            writer.write(iter_num, scalars)
+            if "disagreement_ratio" in scalars:
+                # per-iteration CSV like train_ablation_2D.py:183-190
+                writer.append_csv(f"{snapshot_path}/disagreement.csv",
+                                  {"iteration": iter_num,
+                                   "ratio": scalars["disagreement_ratio"]})
+            logging.info("iteration %d : loss : %.4f", iter_num, scalars["loss"])
 
-            if iter_num > 0 and iter_num % cfg.eval.eval_every == 0:
-                variables = {"params": state.params, "batch_stats": state.batch_stats}
-                metric_list = evaluate_volumes(db_val, predictor, variables,
-                                               num_classes, cfg.data.image_size,
-                                               mesh=mesh if n_dev > 1 else None)
-                performance = float(np.mean(metric_list, axis=0)[0])
-                mean_hd95 = float(np.mean(metric_list, axis=0)[1])
-                writer.write(iter_num, {"val_mean_dice": performance,
-                                        "val_mean_hd95": mean_hd95})
-                ckpt.save_latest(jax.device_get(state))
-                if performance > best_performance or not ckpt.has("best"):
-                    best_performance = performance
-                    ckpt.save_best(jax.device_get(state))
-                    ckpt.save_meta({"best_metric": best_performance,
-                                    "best_iteration": iter_num})
-                    writer.append_csv(
-                        f"{snapshot_path}/val.csv",
-                        {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
-                         "iteration": iter_num,
-                         "val_acc": round(best_performance, 4)})
-                logging.info("iteration %d : mean_dice %.4f mean_hd95 %.4f",
-                             iter_num, performance, mean_hd95)
+        if iter_num > 0 and iter_num % cfg.eval.eval_every == 0:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            metric_list = evaluate_volumes(db_val, predictor, variables,
+                                           num_classes, cfg.data.image_size,
+                                           mesh=mesh if n_dev > 1 else None)
+            performance = float(np.mean(metric_list, axis=0)[0])
+            mean_hd95 = float(np.mean(metric_list, axis=0)[1])
+            writer.write(iter_num, {"val_mean_dice": performance,
+                                    "val_mean_hd95": mean_hd95})
+            ckpt.save_latest(jax.device_get(state))
+            if performance > best_performance or not ckpt.has("best"):
+                best_performance = performance
+                ckpt.save_best(jax.device_get(state))
+                ckpt.save_meta({"best_metric": best_performance,
+                                "best_iteration": iter_num})
+                writer.append_csv(
+                    f"{snapshot_path}/val.csv",
+                    {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+                     "iteration": iter_num,
+                     "val_acc": round(best_performance, 4)})
+            logging.info("iteration %d : mean_dice %.4f mean_hd95 %.4f",
+                         iter_num, performance, mean_hd95)
 
-            if iter_num >= max_iterations:
-                break
+        if iter_num >= max_iterations:
+            break
 
     writer.close()
     return {"best_dice": best_performance, "steps": iter_num}
