@@ -72,3 +72,52 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (multi-process) input: on a real pod each host process only
+# loads ITS slice of the global batch; jax.make_array_from_process_local_data
+# assembles the per-process local arrays into one globally-sharded jax.Array
+# without any cross-host gather. This is what makes the DCN outer axis usable
+# beyond one host. In a single-process run it degrades to a plain sharded
+# device_put, so trainers call it unconditionally.
+# ---------------------------------------------------------------------------
+
+def process_sharded_batch(mesh: Mesh, local_batch: Any, batch_axis: int = 0
+                          ) -> Any:
+    """Assemble a pytree of PER-PROCESS local [B_local, ...] arrays into
+    global batch-sharded arrays (global B = B_local * process_count)."""
+    def put(x):
+        sharding = batch_sharding(mesh, np.ndim(x), batch_axis)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.tree.map(put, local_batch)
+
+
+class ProcessLocalBatchSampler:
+    """Wrap a global batch sampler so each process yields only ITS contiguous
+    slice of every batch — the rows this process must load from disk.
+
+    The slice is CONTIGUOUS in the global batch because
+    make_array_from_process_local_data places process p's local rows at the
+    global positions of p's devices (device order = global row order): a
+    contiguous per-process slice is exactly what reassembles to the
+    sampler's global [labeled ; unlabeled] two-stream layout."""
+
+    def __init__(self, sampler, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        self.sampler = sampler
+        self.rank = (jax.process_index() if process_index is None
+                     else process_index)
+        self.world = (jax.process_count() if process_count is None
+                      else process_count)
+
+    def __len__(self):
+        return len(self.sampler)
+
+    def __iter__(self):
+        for batch in self.sampler:
+            b = len(batch)
+            assert b % self.world == 0, \
+                f"global batch {b} must divide over {self.world} processes"
+            per = b // self.world
+            yield batch[self.rank * per:(self.rank + 1) * per]

@@ -93,7 +93,13 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
     compute_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
 
     def shard(batch):
+        # `batch` holds this PROCESS's rows; in a multi-host run they
+        # assemble into the global sharded array without any cross-host
+        # gather (parallel/mesh.process_sharded_batch)
         batch = compact_batch(batch, compute_dtype)
+        if jax.process_count() > 1:
+            from chap_tpu.parallel.mesh import process_sharded_batch
+            return process_sharded_batch(mesh, batch)
         return {"image": jax.device_put(batch["image"], data_sharding),
                 "label": jax.device_put(batch["label"], label_sharding)}
 
@@ -132,6 +138,11 @@ def train(cfg: Config, snapshot_path: str, mode: str = "chap",
                     cfg.data.batch_size,
                     cfg.data.batch_size - cfg.data.labeled_bs,
                     seed=cfg.run.seed + epoch_start)
+                if jax.process_count() > 1:
+                    # every process builds the SAME global sampler (same
+                    # seed), then loads only its contiguous slice
+                    from chap_tpu.parallel.mesh import ProcessLocalBatchSampler
+                    sampler = ProcessLocalBatchSampler(sampler)
                 loader = BatchLoader(db_train, sampler, cfg.data.num_workers)
                 yield from prefetch_to_device(loader, size=2, transform=shard)
                 epoch_start += len(sampler)

@@ -215,7 +215,11 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
     compute_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
 
     def shard(batch):
+        # per-process rows -> global sharded array in multi-host runs
         batch = compact_batch(batch, compute_dtype)
+        if jax.process_count() > 1:
+            from chap_tpu.parallel.mesh import process_sharded_batch
+            return process_sharded_batch(mesh, batch)
         return {"image": jax.device_put(batch["image"], data_sharding),
                 "label": jax.device_put(batch["label"], label_sharding)}
 
@@ -227,6 +231,9 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
                                         cfg.data.batch_size,
                                         cfg.data.batch_size - cfg.data.labeled_bs,
                                         seed=cfg.run.seed + iter_num)
+        if jax.process_count() > 1:
+            from chap_tpu.parallel.mesh import ProcessLocalBatchSampler
+            sampler = ProcessLocalBatchSampler(sampler)
         loader = BatchLoader(dataset, sampler, cfg.data.num_workers)
         for batch in prefetch_to_device(loader, size=2, transform=shard):
             rng, step_rng = jax.random.split(rng)
