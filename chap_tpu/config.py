@@ -152,6 +152,12 @@ class RunConfig:
     text: str = "null"
     log_every: int = 20
     checkpoint_every: int = 200
+    prng_impl: str = "threefry2x32"       # threefry2x32 | rbg: rbg generates
+                                          # random bits much faster on TPU
+                                          # (the CHAP step draws ~25M dropout
+                                          # bits/pass); threefry is the jax
+                                          # default and reproduces the
+                                          # reference rounds' draws
 
 
 @dataclass

@@ -36,6 +36,10 @@ from chap_tpu.utils.metrics_writer import MetricsWriter
 def train(cfg: Config, snapshot_path: str, mode: str = "chap",
           max_steps: Optional[int] = None, resume: bool = False) -> dict:
     """Returns {'best_dice': float, 'steps': int}."""
+    if getattr(cfg.run, "prng_impl", "threefry2x32") != "threefry2x32":
+        # rbg generates random bits far faster on TPU; draws differ from the
+        # threefry default but dropout/perturbation draws are arbitrary
+        jax.config.update("jax_default_prng_impl", cfg.run.prng_impl)
     rng = jax.random.PRNGKey(cfg.run.seed)
     num_classes = cfg.data.num_classes
 

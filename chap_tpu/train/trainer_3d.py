@@ -142,6 +142,10 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
     "cps" = plain cross-pseudo-supervision baseline,
     "supervised" = fully-supervised (BraTS protocol; model = cfg.model.name_3d)."""
     patch = tuple(cfg.data.patch_size_3d)
+    if getattr(cfg.run, "prng_impl", "threefry2x32") != "threefry2x32":
+        # rbg generates random bits far faster on TPU; draws differ from the
+        # threefry default but dropout/perturbation draws are arbitrary
+        jax.config.update("jax_default_prng_impl", cfg.run.prng_impl)
     rng = jax.random.PRNGKey(cfg.run.seed)
     nf = cfg.model.n_filters_3d
 

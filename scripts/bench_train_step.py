@@ -32,20 +32,40 @@ VARIANTS = {
     "cps-bf16": ("bfloat16", False, False, True, False),
     "cps+drop-bf16": ("bfloat16", False, True, True, False),
     "cps+adv-bf16": ("bfloat16", True, False, True, False),
+    # round-5 A/B matrix: sequential (round-4 structure) vs fused passes,
+    # GradSim cadence, and both together
+    "full-bf16-seq": ("bfloat16", True, True, True, True, False),
+    "full-bf16-gs4": ("bfloat16", True, True, True, True, True, 4),
+    "full-bf16-seq-gs4": ("bfloat16", True, True, True, True, False, 4),
+    "full-bf16-nonms-gs4": ("bfloat16", True, True, True, False, True, 4),
 }
 
 
-def run(tag, dtype, adv, drop, remat=True, use_nms=True):
+def run(tag, dtype, adv, drop, remat=True, use_nms=True, fused=True,
+        gradsim_every=1):
     cfg = Config()
     cfg.model.dtype = dtype
     cfg.semi.adv_noise = adv
     cfg.semi.dropout = drop
+    cfg.semi.gradsim_every = gradsim_every
     cfg.optim.remat = remat
+    cfg.optim.fused_passes = fused
     model = net_factory("dualdecoder", 1, 4, cfg.model)
     opt = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations)
     sample = jnp.zeros((24, 256, 256, 1))
     state = create_train_state(model, jax.random.PRNGKey(0), sample, opt,
                                sim_chns=tuple(cfg.model.feature_chns))
+    import os
+    ckpt_dir = os.environ.get("CHAP_BENCH_CKPT")
+    if ckpt_dir:
+        # trained weights -> clean pseudo-labels -> the NMS cost of the
+        # sustained-training regime instead of the random-weight worst case
+        from chap_tpu.utils.checkpoint import CheckpointManager
+        restored = CheckpointManager(ckpt_dir).restore_latest(state)
+        if restored is not None:
+            state = state.replace(params=restored.params,
+                                  batch_stats=restored.batch_stats)
+            print(f"{tag}: using trained weights from {ckpt_dir}", flush=True)
     step = build_chap_train_step(model, opt, cfg, use_nms=use_nms)
     rng = np.random.RandomState(0)
     label = np.zeros((24, 256, 256), np.int32)
@@ -57,7 +77,7 @@ def run(tag, dtype, adv, drop, remat=True, use_nms=True):
         state, m = step(state, batch, jax.random.PRNGKey(1))
         print(f"{tag}: compile {time.perf_counter() - t0:.0f}s "
               f"loss={float(m['loss']):.3f}", flush=True)
-        n = 6
+        n = 8   # multiple of gradsim_every so cadence steps amortize honestly
         t0 = time.perf_counter()
         for i in range(n):
             state, m = step(state, batch, jax.random.PRNGKey(i))
@@ -89,6 +109,8 @@ def run3d(tag, mode, dtype="bfloat16"):
     cfg.data.batch_size = bs
     cfg.data.labeled_bs = bs // 2
     cfg.optim.remat = os.environ.get("CHAP_BENCH3D_REMAT", "1") == "1"
+    cfg.optim.fused_passes = os.environ.get("CHAP_BENCH3D_FUSED", "1") == "1"
+    cfg.semi.gradsim_every = int(os.environ.get("CHAP_BENCH3D_GS_EVERY", "1"))
     cfg.semi.adv_noise = cfg.semi.dropout = mode == "chap"
     model = net_factory_3d("dualdecoder", 1, 2, mode="train", cfg=cfg.model)
     opt = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations)

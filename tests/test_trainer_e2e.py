@@ -55,6 +55,8 @@ def test_share_trainer_e2e(tmp_path):
     cfg = tiny_cfg(tmp_path)
     cfg.model.decoder_type = "same"
     cfg.semi.acal = True
+    # ACAL replay shards both batch halves; labeled_bs=4 must divide the mesh
+    cfg.parallel.num_devices = 4
     cfg.semi.acal_start_iter = 6
     cfg.semi.adv_losstype = "mse"
     result = train(cfg, str(tmp_path))
