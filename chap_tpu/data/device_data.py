@@ -139,6 +139,120 @@ def apply_augment(img: jnp.ndarray, lab: jnp.ndarray, mode, k, ax, ang
     return img_out, lab_out
 
 
+class DeviceVolumePool(NamedTuple):
+    """HBM-resident 3D volume pool for the patch trainers. images [N,X,Y,Z]
+    compute dtype, labels [N,X,Y,Z] uint8, shapes [N,3] int32 (true per-volume
+    extents inside the common padded box; volumes smaller than the patch are
+    centre-padded to patch size first, matching transforms3d.random_crop_3d)."""
+    images: jnp.ndarray
+    labels: jnp.ndarray
+    shapes: jnp.ndarray
+
+
+def build_device_volume_pool(volumes, patch: Tuple[int, int, int], dtype,
+                             sharding=None) -> DeviceVolumePool:
+    """volumes: sequence of {'image': [X,Y,Z], 'label': [X,Y,Z]} host dicts."""
+    n = len(volumes)
+    shapes = np.zeros((n, 3), np.int32)
+    padded_imgs, padded_labs = [], []
+    for i in range(n):
+        v = volumes[i]
+        img = np.asarray(v["image"], np.float32)
+        lab = np.asarray(v["label"], np.uint8)
+        pads = [max(patch[d] - img.shape[d], 0) for d in range(3)]
+        if any(pads):
+            pad = [(p // 2, p - p // 2) for p in pads]
+            img = np.pad(img, pad, mode="constant")
+            lab = np.pad(lab, pad, mode="constant")
+        shapes[i] = img.shape
+        padded_imgs.append(img)
+        padded_labs.append(lab)
+    box = tuple(int(shapes[:, d].max()) for d in range(3))
+    images = np.zeros((n, *box), np.float32)
+    labels = np.zeros((n, *box), np.uint8)
+    for i in range(n):
+        sl = tuple(slice(0, s) for s in shapes[i])
+        images[(i, *sl)] = padded_imgs[i]
+        labels[(i, *sl)] = padded_labs[i]
+    images_j = jnp.asarray(images, dtype=dtype)
+    labels_j = jnp.asarray(labels)
+    if sharding is not None:
+        images_j = jax.device_put(images_j, sharding)
+        labels_j = jax.device_put(labels_j, sharding)
+    return DeviceVolumePool(images_j, labels_j, jnp.asarray(shapes))
+
+
+def _augment_patch_3d(img: jnp.ndarray, lab: jnp.ndarray, rng: jax.Array
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RandomRotFlip recipe of transforms3d.random_rot_flip_3d on a cropped
+    patch: 50% (rot90 in the XY plane, k in 0..3, then flip one of 3 axes).
+    Applying it patch-wise after the crop spans the same augmentation family
+    as the host path's volume-wise-then-crop order (rot/flip commute with
+    cropping up to the crop position, which is uniform either way). Requires
+    a square XY patch (all reference protocols: 112x112x80, 96^3)."""
+    px, py, pz = img.shape
+    assert px == py, "XY-rot90 augmentation needs a square XY patch"
+    r_mode, r_k, r_ax = jax.random.split(rng, 3)
+    do = jax.random.uniform(r_mode) > 0.5
+    k = jnp.where(do, jax.random.randint(r_k, (), 0, 4), 0)
+    ax = jnp.where(do, jax.random.randint(r_ax, (), 0, 3), 3)  # 3 = no flip
+
+    ii = jnp.broadcast_to(jnp.arange(px)[:, None], (px, py))
+    jj = jnp.broadcast_to(jnp.arange(py)[None, :], (px, py))
+    # out = flip(rot90(x, k, axes=(0,1)), ax): source XY indices
+    fi = jnp.where(ax == 0, px - 1 - ii, ii)
+    fj = jnp.where(ax == 1, py - 1 - jj, jj)
+    si = jnp.select([k == 0, k == 1, k == 2, k == 3],
+                    [fi, fj, px - 1 - fi, px - 1 - fj])
+    sj = jnp.select([k == 0, k == 1, k == 2, k == 3],
+                    [fj, py - 1 - fi, py - 1 - fj, fi])
+    img = img[si, sj, :]
+    lab = lab[si, sj, :]
+    zrev = ax == 2
+    img = jnp.where(zrev, img[:, :, ::-1], img)
+    lab = jnp.where(zrev, lab[:, :, ::-1], lab)
+    return img, lab
+
+
+def build_device_patch_fn(num_volumes: int, num_labeled: int, batch_size: int,
+                          labeled_bs: int, patch: Tuple[int, int, int],
+                          augment: bool = True, out_shardings=None) -> Callable:
+    """Returns jitted patch_fn(pool, rng) -> {'image': [B,*patch,1], 'label':
+    [B,*patch] uint8}: two-stream volume sampling (labeled ids < num_labeled)
+    + uniform random crop inside each volume's true extent + RandomRotFlip,
+    all on device — one 4D dynamic_slice per sample, zero h2d traffic."""
+    px, py, pz = patch
+
+    def one(pool: DevicePool, vid: jnp.ndarray, rng: jax.Array):
+        r_crop, r_aug = jax.random.split(rng)
+        shape = pool.shapes[vid]
+        u = jax.random.uniform(r_crop, (3,))
+        starts = jnp.floor(
+            u * (shape - jnp.array(patch) + 1).astype(jnp.float32)
+        ).astype(jnp.int32)
+        img = jax.lax.dynamic_slice(
+            pool.images, (vid, starts[0], starts[1], starts[2]),
+            (1, px, py, pz))[0]
+        lab = jax.lax.dynamic_slice(
+            pool.labels, (vid, starts[0], starts[1], starts[2]),
+            (1, px, py, pz))[0]
+        if augment:
+            img, lab = _augment_patch_3d(img, lab, r_aug)
+        return img, lab
+
+    def patch_fn(pool: DeviceVolumePool, rng: jax.Array):
+        r_lab, r_unlab, r_one = jax.random.split(rng, 3)
+        lab_ids = jax.random.randint(r_lab, (labeled_bs,), 0, num_labeled)
+        unlab_ids = jax.random.randint(r_unlab, (batch_size - labeled_bs,),
+                                       num_labeled, num_volumes)
+        vids = jnp.concatenate([lab_ids, unlab_ids])
+        imgs, labs = jax.vmap(one, in_axes=(None, 0, 0))(
+            pool, vids, jax.random.split(r_one, batch_size))
+        return {"image": imgs[..., None], "label": labs}
+
+    return jax.jit(patch_fn, out_shardings=out_shardings)
+
+
 def build_device_batch_fn(num_slices: int, num_labeled: int, batch_size: int,
                           labeled_bs: int, augment: bool = True,
                           out_shardings=None) -> Callable:

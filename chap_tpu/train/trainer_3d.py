@@ -229,49 +229,78 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
 
     iter_num = int(state.step)
     start_iter = iter_num
+
+    if cfg.data.device_input:
+        # HBM-resident padded-volume pool + on-device two-stream crop/rot-flip
+        # (data/device_data.py): zero per-step h2d traffic. Labeled stream =
+        # the first `labeled_cases` volumes (the LA-protocol reading).
+        from jax.sharding import NamedSharding, PartitionSpec
+        from chap_tpu.data.device_data import (build_device_patch_fn,
+                                               build_device_volume_pool)
+        pool = build_device_volume_pool(
+            volumes, patch, compute_dtype,
+            sharding=NamedSharding(mesh, PartitionSpec()) if n_dev > 1 else None)
+        n_labeled_vols = min(labeled_cases, len(volumes))
+        patch_fn = build_device_patch_fn(
+            len(volumes), n_labeled_vols, cfg.data.batch_size,
+            cfg.data.labeled_bs, patch,
+            out_shardings={"image": data_sharding, "label": label_sharding}
+            if n_dev > 1 else None)
+
+        def batch_stream():
+            r = jax.random.fold_in(jax.random.PRNGKey(cfg.run.seed), start_iter)
+            while True:
+                r, rb = jax.random.split(r)
+                yield patch_fn(pool, rb)
+    else:
+        def batch_stream():
+            epoch_start = iter_num
+            while True:
+                sampler = TwoStreamBatchSampler(
+                    labeled_idx, unlabeled_idx, cfg.data.batch_size,
+                    cfg.data.batch_size - cfg.data.labeled_bs,
+                    seed=cfg.run.seed + epoch_start)
+                if jax.process_count() > 1:
+                    from chap_tpu.parallel.mesh import ProcessLocalBatchSampler
+                    sampler = ProcessLocalBatchSampler(sampler)
+                loader = BatchLoader(dataset, sampler, cfg.data.num_workers)
+                yield from prefetch_to_device(loader, size=2, transform=shard)
+                epoch_start += len(sampler)
+
     t_start = time.time()
-    while iter_num < max_iterations:
-        sampler = TwoStreamBatchSampler(labeled_idx, unlabeled_idx,
-                                        cfg.data.batch_size,
-                                        cfg.data.batch_size - cfg.data.labeled_bs,
-                                        seed=cfg.run.seed + iter_num)
-        if jax.process_count() > 1:
-            from chap_tpu.parallel.mesh import ProcessLocalBatchSampler
-            sampler = ProcessLocalBatchSampler(sampler)
-        loader = BatchLoader(dataset, sampler, cfg.data.num_workers)
-        for batch in prefetch_to_device(loader, size=2, transform=shard):
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, step_rng)
-            iter_num += 1
-            if iter_num % cfg.run.log_every == 0:
-                scalars = {k: float(v) for k, v in metrics.items()}
-                scalars["steps_per_sec"] = (
-                    (iter_num - start_iter) / (time.time() - t_start))
-                writer.write(iter_num, scalars)
-                logging.info("iter %d loss %.4f", iter_num, scalars["loss"])
-            if val_ds is not None and iter_num % cfg.eval.eval_every == 0:
-                variables = {"params": state.params, "batch_stats": state.batch_stats}
-                m = test_all_case(model, variables, val_ds, cfg.data.num_classes,
-                                  patch, cfg.eval.stride_xy, cfg.eval.stride_z,
-                                  sw_batch=cfg.eval.sw_batch, nms=cfg.eval.nms,
-                                  mesh=mesh if n_dev > 1 else None)
-                dice = float(m[:, 0].mean())
-                writer.write(iter_num, {"val_mean_dice": dice})
-                ckpt.save_latest(jax.device_get(state))
-                if dice > best or not ckpt.has("best"):
-                    best = dice
-                    ckpt.save_best(jax.device_get(state))
-                    ckpt.save_meta({"best_metric": best,
-                                    "best_iteration": iter_num})
-                    writer.append_csv(
-                        f"{snapshot_path}/val.csv",
-                        {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
-                         "iteration": iter_num,
-                         "val_acc": round(best, 4)})
-            elif iter_num % cfg.run.checkpoint_every == 0:
-                ckpt.save_latest(jax.device_get(state))
-            if iter_num >= max_iterations:
-                break
+    for batch in batch_stream():
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, step_rng)
+        iter_num += 1
+        if iter_num % cfg.run.log_every == 0:
+            scalars = {k: float(v) for k, v in metrics.items()}
+            scalars["steps_per_sec"] = (
+                (iter_num - start_iter) / (time.time() - t_start))
+            writer.write(iter_num, scalars)
+            logging.info("iter %d loss %.4f", iter_num, scalars["loss"])
+        if val_ds is not None and iter_num % cfg.eval.eval_every == 0:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            m = test_all_case(model, variables, val_ds, cfg.data.num_classes,
+                              patch, cfg.eval.stride_xy, cfg.eval.stride_z,
+                              sw_batch=cfg.eval.sw_batch, nms=cfg.eval.nms,
+                              mesh=mesh if n_dev > 1 else None)
+            dice = float(m[:, 0].mean())
+            writer.write(iter_num, {"val_mean_dice": dice})
+            ckpt.save_latest(jax.device_get(state))
+            if dice > best or not ckpt.has("best"):
+                best = dice
+                ckpt.save_best(jax.device_get(state))
+                ckpt.save_meta({"best_metric": best,
+                                "best_iteration": iter_num})
+                writer.append_csv(
+                    f"{snapshot_path}/val.csv",
+                    {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+                     "iteration": iter_num,
+                     "val_acc": round(best, 4)})
+        elif iter_num % cfg.run.checkpoint_every == 0:
+            ckpt.save_latest(jax.device_get(state))
+        if iter_num >= max_iterations:
+            break
     ckpt.save_latest(jax.device_get(state))
     writer.close()
     return {"best_dice": best, "steps": iter_num}

@@ -82,10 +82,22 @@ def _pool():
     return _POOL
 
 
+_POOL_DEV = None
+
+
 def batches(rung: str, seed: int = 0):
     """Deterministic batch stream. chap rungs: two-stream (first LABELED_BS
-    labeled, rest unlabeled); supervised: all indices < N_LABELED."""
-    imgs, labs = _pool()
+    labeled, rest unlabeled); supervised: all indices < N_LABELED.
+
+    The pool lives ON DEVICE (one upload); per-step traffic is a 24-int
+    index array — the per-transfer host leak and the single host core both
+    drop out of the loop (data/device_data.py rationale)."""
+    global _POOL_DEV
+    if _POOL_DEV is None:
+        imgs, labs = _pool()
+        _POOL_DEV = (jax.device_put(jnp.asarray(imgs, jnp.bfloat16)),
+                     jax.device_put(jnp.asarray(labs, jnp.uint8)))
+    imgs_d, labs_d = _POOL_DEV
     rng = np.random.RandomState(seed)
     while True:
         if rung == "supervised":
@@ -94,8 +106,8 @@ def batches(rung: str, seed: int = 0):
             lab = rng.randint(0, N_LABELED, LABELED_BS)
             unl = rng.randint(N_LABELED, TRAIN_SIZE, BATCH - LABELED_BS)
             idxs = np.concatenate([lab, unl])
-        yield {"image": jnp.asarray(imgs[idxs]),
-               "label": jnp.asarray(labs[idxs])}
+        ix = jnp.asarray(idxs)
+        yield {"image": imgs_d[ix], "label": labs_d[ix]}
 
 
 def run(rung: str, steps: int) -> dict:
