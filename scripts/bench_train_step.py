@@ -67,15 +67,32 @@ def run(tag, dtype, adv, drop, remat=True, use_nms=True, fused=True,
                                   batch_stats=restored.batch_stats)
             print(f"{tag}: using trained weights from {ckpt_dir}", flush=True)
     step = build_chap_train_step(model, opt, cfg, use_nms=use_nms)
-    rng = np.random.RandomState(0)
-    label = np.zeros((24, 256, 256), np.int32)
-    label[:, 64:192, 64:192] = 1
-    image = (label / 3.0 + rng.normal(0, 0.1, label.shape)).astype(np.float32)[..., None]
-    batch = {"image": jnp.asarray(image), "label": jnp.asarray(label)}
+    if ckpt_dir:
+        # trained-weights runs must see IN-DISTRIBUTION inputs (the phantoms
+        # the checkpoint was trained on): out-of-distribution inputs make the
+        # model emit fragmented pseudo-labels — a pathological worst case for
+        # the largest-CC loop, not the sustained-training regime
+        from chap_tpu.data.datasets import SyntheticSliceDataset
+        ds = SyntheticSliceDataset(256, 4, 24, seed=99)
+        image = np.stack([ds[i]["image"] for i in range(24)])[..., None]
+        label = np.stack([ds[i]["label"] for i in range(24)])
+    else:
+        rng = np.random.RandomState(0)
+        label = np.zeros((24, 256, 256), np.int32)
+        label[:, 64:192, 64:192] = 1
+        image = (label / 3.0 + rng.normal(0, 0.1, label.shape)).astype(np.float32)[..., None]
+    batch = {"image": jnp.asarray(image.astype(np.float32)),
+             "label": jnp.asarray(label.astype(np.int32))}
     try:
         t0 = time.perf_counter()
-        state, m = step(state, batch, jax.random.PRNGKey(1))
-        print(f"{tag}: compile {time.perf_counter() - t0:.0f}s "
+        # THREE warmup calls: checkpoint-restored arrays carry a different
+        # on-device layout than the step's outputs, which costs up to two
+        # extra tunnel compiles (~60-90 s each) before the program stabilizes
+        # — timing must start from the steady state
+        for w in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(100 + w))
+            _ = float(m["loss"])
+        print(f"{tag}: compile+warmup {time.perf_counter() - t0:.0f}s "
               f"loss={float(m['loss']):.3f}", flush=True)
         n = 8   # multiple of gradsim_every so cadence steps amortize honestly
         t0 = time.perf_counter()
@@ -133,10 +150,12 @@ def run3d(tag, mode, dtype="bfloat16"):
     batch = {"image": jnp.asarray(image), "label": jnp.asarray(label)}
     try:
         t0 = time.perf_counter()
-        state, m = step(state, batch, jax.random.PRNGKey(1))
-        print(f"{tag}: compile {time.perf_counter() - t0:.0f}s "
+        for w in range(3):   # see run(): layout-stabilizing warmup
+            state, m = step(state, batch, jax.random.PRNGKey(100 + w))
+            _ = float(m["loss"])
+        print(f"{tag}: compile+warmup {time.perf_counter() - t0:.0f}s "
               f"loss={float(m['loss']):.3f}", flush=True)
-        n = 6
+        n = 8
         t0 = time.perf_counter()
         for i in range(n):
             state, m = step(state, batch, jax.random.PRNGKey(i))
