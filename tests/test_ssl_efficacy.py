@@ -41,7 +41,13 @@ def _run_rung(rung, imgs, labs):
     cfg.data.image_size = (SIZE, SIZE)
     cfg.optim.max_iterations = 30000      # chip-protocol LR schedule
     cfg.optim.remat = False
-    cfg.semi.adv_noise = cfg.semi.dropout = False
+    cfg.semi.adv_noise = cfg.semi.dropout = rung == "chap-full"
+    if rung == "chap-full":
+        # the chip protocol ramps consistency over 7500 steps (rampup 50 x
+        # 150-step epochs); at this test's 1500-step budget the branches
+        # would never act — shorten the ramp so it completes at step 750
+        # and the perturbation branches are exercised at full weight
+        cfg.semi.consistency_rampup = 5.0
     model = net_factory("dualdecoder", 1, NC, cfg.model)
     opt = make_optimizer(cfg.optim.base_lr, cfg.optim.max_iterations)
     state = create_train_state(model, jax.random.PRNGKey(0),
@@ -49,7 +55,7 @@ def _run_rung(rung, imgs, labs):
                                sim_chns=tuple(cfg.model.feature_chns))
     if rung == "supervised":
         step = build_supervised_train_step(model, opt, cfg, dual=True)
-    else:  # chap-base: BCP + CPS + on-device NMS
+    else:  # chap rungs: BCP + CPS + on-device NMS (+dropout/VAT for full)
         step = build_chap_train_step(model, opt, cfg, use_nms=True)
     rng = np.random.RandomState(1)
     key = jax.random.PRNGKey(1)
@@ -88,3 +94,23 @@ def test_chap_beats_supervised_on_hard_protocol():
     # assert a 3.6x-margined floor so tolerable numeric drift can't flake it
     assert chap > sup + 0.003, (chap, sup)
     assert sup > 0.75          # the protocol itself must train
+
+
+@pytest.mark.skipif(not os.environ.get("CHAP_SLOW_TESTS"),
+                    reason="chip-like budget (1500 steps x 2 rungs); "
+                           "set CHAP_SLOW_TESTS=1")
+def test_chap_full_not_below_chap_base():
+    """The signature perturbation branches (GradSim dropout + masked VAT)
+    must not cost accuracy once their consistency weight is actually live.
+    chap-full runs with the ramp shortened to complete at step 750 (see
+    _run_rung) so the branches act at full weight inside the test budget.
+    Measured seeded values on this box: chap-base 0.8852, chap-full 0.8926
+    (+0.74 pts); the 6k-step on-chip ladder with the real 7.5k-step ramp is
+    the primary evidence (BENCH_NOTES round 5). Gate is non-inferiority with
+    margin so numeric drift across platforms can't flake it."""
+    imgs, labs = _pool(0, POOL)
+    vimgs, vlabs = _pool(7, 48)
+    base = _mean_fg_dice(*_run_rung("chap-base", imgs, labs), vimgs, vlabs)
+    full = _mean_fg_dice(*_run_rung("chap-full", imgs, labs), vimgs, vlabs)
+    assert full > base - 0.004, (full, base)
+    assert base > 0.80         # the base rung must itself train
