@@ -73,6 +73,14 @@ def build_chap_train_step(model, optimizer, cfg: Config, use_nms: bool = True,
     """
     num_classes = cfg.data.num_classes
     labeled_bs = cfg.data.labeled_bs
+    if labeled_bs < 2 or labeled_bs % 2:
+        # the BCP protocol pairs labeled halves a/b (train_ours_2D.py:311-318)
+        # — labeled_bs // 2 == 0 would silently slice empty sub-batches and
+        # fail deep inside the loss with an unrelated shape error
+        raise ValueError(
+            f"CHAP two-stream step needs an even labeled_bs >= 2 "
+            f"(got labeled_bs={labeled_bs}, batch_size={cfg.data.batch_size}); "
+            f"the BCP mixing splits the labeled half into a/b pairs")
     sub_bs = labeled_bs // 2
     semi = cfg.semi
 
