@@ -181,6 +181,15 @@ def train(cfg: Config, snapshot_path: str, max_steps: Optional[int] = None,
                          int(state.step), best)
 
     if mode == "chap":
+        # fused 3-instance passes are a measured 2D win (-23%) but a measured
+        # 3D PESSIMIZATION (+31% at 64x64x48 — 3D convs at batch 4 already
+        # fill the MXU and the vmapped stacking pays extra HBM traffic;
+        # BENCH_NOTES round 5) and their graph OOMs the tunnel's remote
+        # compiler at the LA patch; the 3D path always runs sequential passes
+        if cfg.optim.fused_passes:
+            import copy
+            cfg = copy.deepcopy(cfg)
+            cfg.optim.fused_passes = False
         step_fn = build_chap_train_step(model, optimizer, cfg, use_nms=True,
                                         level_paths=VNET_LEVEL_PATHS,
                                         split=cfg.optim.split_step)
