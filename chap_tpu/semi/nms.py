@@ -115,7 +115,7 @@ def _sweep_axes(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask, out, -1)
 
 
-def _label_mask_batch(mask: jnp.ndarray, rounds_per_sweep: int = 2,
+def _label_mask_batch(mask: jnp.ndarray, rounds_per_sweep: int = 1,
                       rounds_per_jump: int = 24,
                       sweep_start: int = 1) -> jnp.ndarray:
     """Connected-component labels of a [B, *spatial] bool mask: each component
@@ -142,11 +142,14 @@ def _label_mask_batch(mask: jnp.ndarray, rounds_per_sweep: int = 2,
         into giant fractal components): 48 rounds / ~120 ms.
 
     Cadence defaults from the round-5 on-chip sweep
-    (scripts/sweep_nms_cadence.py, 72x256^2): (rps=2, ss=1) matches the old
-    (4, 2) on clean/speckled masks (33 vs 35 ms) and is ~30% faster on the
-    percolating worst case (103 vs 147 ms); more frequent pointer jumps
-    (rpj=12) are a large regression everywhere (84/191 ms) — the jump stays
-    the rare escape hatch.
+    (scripts/sweep_nms_cadence.py, 72x256^2): sweeping EVERY round from
+    round 1 (rps=1, ss=1) beats the old (4, 2) on all three regimes —
+    30/28/102 ms speckled/clean/percolating vs 35/34/147 — because the
+    Hillis-Steele rework made a sweep ~2 ms (round 3's associative_scan
+    sweeps were 9x dearer, which is why sweeps-every-round regressed the
+    train step 2x back then). More frequent pointer jumps (rpj=12/16) are a
+    large regression on the percolating case — the jump stays the rare
+    escape hatch. In-step: full 2D CHAP step 378 -> 307-310 ms at gs4.
     """
     b = mask.shape[0]
     spatial = mask.shape[1:]
